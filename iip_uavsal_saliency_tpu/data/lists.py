@@ -1,0 +1,97 @@
+"""Dataset split / file-list management.
+
+Parity with the reference's txt-based split handling
+(reference: utils_data.py:98-202): `<DS>/txt/{train,val,test}.txt` hold video
+basenames; videos live under `<DS>/Videos/`, blurred GT under `<DS>/maps/
+<vid>_fixMaps.mat`, fixation points under `<DS>/fixations/maps/<vid>_fixPts.mat`.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+from typing import List, Sequence, Tuple
+
+VIDEO_EXTS = (".mp4", ".avi", ".AVI")
+
+
+def shuffle_data_dir(
+    data_path: str, ratio: float = 0.8, shuffle: bool = True, save_txt: bool = True
+) -> Tuple[List[str], List[str]]:
+    """80/20 split of `<data_path>/videos/` into train/val lists
+    (reference: utils_data.py:98-124)."""
+    vid_dir = os.path.join(data_path, "videos")
+    images = [f for f in os.listdir(vid_dir) if f.endswith((".mp4", ".avi"))]
+    if shuffle:
+        random.shuffle(images)
+    n = int(len(images) * ratio)
+    train_images, val_images = sorted(images[:n]), sorted(images[n:])
+    if save_txt:
+        for name, lst in (("train", train_images), ("val", val_images)):
+            with open(os.path.join(data_path, name + ".txt"), "w") as f:
+                f.writelines(str(line) + "\n" for line in lst)
+    return train_images, val_images
+
+
+def shuffle_data_list(
+    list_path: str, ratio: float = 0.8, shuffle: bool = True, save_txt: bool = True
+) -> Tuple[List[str], List[str]]:
+    """Split an existing list file (reference: utils_data.py:126-154)."""
+    data_path = os.path.dirname(list_path)
+    with open(list_path) as f:
+        images = [line.strip("\n") for line in f]
+    if shuffle:
+        random.shuffle(images)
+    n = int(len(images) * ratio)
+    train_images, val_images = sorted(images[:n]), sorted(images[n:])
+    if save_txt:
+        for name, lst in (("train", train_images), ("val", val_images)):
+            with open(os.path.join(data_path, name + ".txt"), "w") as f:
+                f.writelines(str(line) + "\n" for line in lst)
+    return train_images, val_images
+
+
+def read_video_list(
+    datapath: str, phase_gen: str = "train", shuffle: bool = True, ext: str = ".mp4"
+) -> Tuple[List[str], List[str], List[str]]:
+    """Resolve (videos, fixMaps, fixPts) paths from the txt split
+    (reference: utils_data.py:157-178)."""
+    if phase_gen not in ("train", "val", "test"):
+        raise NotImplementedError(phase_gen)
+    txt_path = os.path.join(datapath, "txt", phase_gen + ".txt")
+    with open(txt_path) as f:
+        lines = sorted(f.readlines())
+    if shuffle:
+        random.shuffle(lines)
+    names = [line.strip("\n") for line in lines]
+    videos = [os.path.join(datapath, "Videos", n + ext) for n in names]
+    vidmaps = [os.path.join(datapath, "maps", n + "_fixMaps.mat") for n in names]
+    vidfixs = [os.path.join(datapath, "fixations", "maps", n + "_fixPts.mat") for n in names]
+    return videos, vidmaps, vidfixs
+
+
+def get_video_list(
+    datapath: str, phase_gen: str = "train", shuffle: bool = True
+) -> Tuple[Sequence[str], Sequence[str], Sequence[str]]:
+    """Directory-scan variant (reference: utils_data.py:180-202)."""
+    if phase_gen not in ("train", "val", "test"):
+        raise NotImplementedError(phase_gen)
+    base = os.path.join(datapath, phase_gen)
+    vid_dir = os.path.join(base, "videos")
+    map_dir = os.path.join(base, "maps")
+    fix_dir = os.path.join(base, "fixations", "maps")
+    videos = [os.path.join(vid_dir, f) for f in os.listdir(vid_dir) if f.endswith((".avi", ".mp4"))]
+    vidmaps = [os.path.join(map_dir, f) for f in os.listdir(map_dir) if f.endswith(".mat")]
+    vidfixs = [os.path.join(fix_dir, f) for f in os.listdir(fix_dir) if f.endswith(".mat")]
+    if shuffle:
+        zipped = list(zip(videos, vidmaps, vidfixs))
+        random.shuffle(zipped)
+        videos, vidmaps, vidfixs = map(list, zip(*zipped))
+    else:
+        videos, vidmaps, vidfixs = sorted(videos), sorted(vidmaps), sorted(vidfixs)
+    return videos, vidmaps, vidfixs
+
+
+def dataset_ext(dataset: str) -> str:
+    """Video container per dataset (reference: Demo_Train_Test.py:277-280)."""
+    return ".avi" if dataset.upper() in ("UAV2", "UAV2-TE", "CITIUS") else ".mp4"

@@ -1,0 +1,118 @@
+"""Video decode / encode and per-video GT preprocessing.
+
+Host-side pipeline with exact parity to the reference
+(reference: utils_data.py:229-287 preprocess_*, :84-93 saveVid). Decoded
+frames stay uint8 through the letterbox so the arrays shipped to the device
+are 4x smaller; normalization happens on-chip (see letterbox.normalize_frames).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Tuple
+
+import numpy as np
+
+from .letterbox import im2uint8, normalize_frames, padding, padding_fixation
+from .matio import loadmat
+
+try:
+    import cv2
+except Exception:  # pragma: no cover
+    cv2 = None
+
+
+def decode_video(path: str, max_frames: float = float("inf")) -> Tuple[np.ndarray, int, int, int]:
+    """Decode all frames (BGR uint8). Returns (frames(T,H,W,3), n, height, width)."""
+    if cv2 is None:
+        raise RuntimeError("OpenCV (cv2) required for video decode")
+    cap = cv2.VideoCapture(path)
+    nframes = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    width = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+    height = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+    nframes = int(min(nframes, max_frames))
+    frames = np.zeros((nframes, height, width, 3), np.uint8)
+    for i in range(nframes):
+        ret, frame = cap.read()
+        if not ret:
+            frames = frames[:i]
+            nframes = i
+            break
+        frames[i] = frame
+    cap.release()
+    return frames, nframes, height, width
+
+
+def preprocess_videos(
+    path: str,
+    shape_r: int,
+    shape_c: int,
+    frames: float = float("inf"),
+    mode: str = "RGB",
+    normalize: bool = True,
+):
+    """Decode + letterbox (+ optional normalize), matching reference
+    utils_data.py:255-287. Returns (frames, nframes, height, width)."""
+    if cv2 is None:
+        raise RuntimeError("OpenCV (cv2) required for video decode")
+    cap = cv2.VideoCapture(path)
+    nframes = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    width = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+    height = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+    nframes = int(min(nframes, frames))
+
+    ims = np.zeros((nframes, shape_r, shape_c, 3), np.uint8)
+    for i in range(nframes):
+        ret, frame = cap.read()
+        if not ret:
+            break
+        ims[i] = padding(frame, shape_r, shape_c, 3)
+    cap.release()
+
+    if mode == "RGB":
+        ims = ims[:, :, :, [2, 1, 0]]
+        mean = [0.485, 0.456, 0.406]
+        std = [0.229, 0.224, 0.225]
+    elif mode == "BGR":
+        mean = [0.406, 0.456, 0.485]
+        std = [0.225, 0.224, 0.229]
+    else:
+        raise ValueError(mode)
+
+    if normalize:
+        ims = normalize_frames(ims, mean, std)
+    return ims, nframes, height, width
+
+
+def preprocess_vidmaps(path: str, shape_r: int, shape_c: int, frames: float = float("inf")):
+    """Load blurred GT maps (H,W,1,T) -> letterboxed (T, shape_r, shape_c, 1)
+    uint8 (reference: utils_data.py:229-240)."""
+    fixmaps = loadmat(path, "fixMap")
+    nframes = int(min(fixmaps.shape[3], frames))
+    ims = np.zeros((nframes, shape_r, shape_c, 1), np.uint8)
+    for i in range(nframes):
+        ims[i, :, :, 0] = padding(fixmaps[:, :, :, i], shape_r, shape_c, 1)
+    return ims
+
+
+def preprocess_vidfixs(path: str, shape_r: int, shape_c: int, frames: float = float("inf")):
+    """Load binary fixation points (H,W,1,T) -> coordinate-remapped letterbox
+    (T, shape_r, shape_c, 1) uint8 (reference: utils_data.py:242-253)."""
+    fixmaps = loadmat(path, "fixLoc")
+    nframes = int(min(fixmaps.shape[3], frames))
+    ims = np.zeros((nframes, shape_r, shape_c, 1), np.uint8)
+    for i in range(nframes):
+        ims[i, :, :, 0] = padding_fixation(fixmaps[:, :, 0, i], shape_r, shape_c)
+    return ims
+
+
+def save_video(savename: str, data: np.ndarray, fps: int = 30) -> None:
+    """(H, W, C, T) -> DIVX .avi/.mp4 (reference: utils_data.py:84-93)."""
+    if cv2 is None:
+        raise RuntimeError("OpenCV (cv2) required for video encode")
+    h, w, c, nframes = data.shape
+    fourcc = cv2.VideoWriter_fourcc("D", "I", "V", "X")
+    writer = cv2.VideoWriter(savename, fourcc, fps, (w, h), isColor=True)
+    for i in range(nframes):
+        writer.write(im2uint8(data[:, :, :, i]))
+    writer.release()

@@ -1,0 +1,236 @@
+"""Stateful convolutional recurrences as `lax.scan`s.
+
+TPU-native re-design of the reference's recurrent cells
+(reference: model_convlstm.py — ConvTWA :238-401, ConvLSTM :73-236,
+ConvTWA_DW :403-566, ConvSimGRU :568-731).
+
+Key optimization (all gate-conv cells): the gate convolution over
+`concat([x_t, h_{t-1}])` is linear, so it splits into
+
+    conv([x, h], W) = conv(x, W[:, :, :Cin]) + conv(h, W[:, :, Cin:]).
+
+The input half is hoisted out of the recurrence and computed for ALL frames
+in one large batched conv (MXU-saturating); the scan body only runs the small
+hidden-state conv plus the elementwise gate. The reference instead re-runs the
+full concat-conv per frame in a Python loop (model_convlstm.py:364-377).
+
+All cells are stateless flax modules: call with the input sequence and the
+carried state; the new state is returned (the reference hardcodes
+`.cuda()`-allocated zero states at model_convlstm.py:295 — here `init_state`
+is an explicit, device-agnostic helper).
+
+Layout: sequences are (S, H, W, C) frame-major; state is (H, W, C).
+Batched (multi-video) use goes through `jax.vmap` / sharded maps in
+`parallel/` — recurrence is sequential in S but embarrassingly parallel
+across videos.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..ops.initializers import make_conv_init
+from ..ops.layers import DWBlock
+
+
+def _conv_hwio(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """NHWC 'same' conv with an HWIO kernel (stride 1)."""
+    kh, kw = kernel.shape[0], kernel.shape[1]
+    pad = [(kh // 2, kh // 2), (kw // 2, kw // 2)]
+    return lax.conv_general_dilated(
+        x, kernel, window_strides=(1, 1), padding=pad,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+class ConvTWA(nn.Module):
+    """Temporal-weighted-average recurrence (the flagship TWA-Net cell).
+
+        i_t = sigmoid(conv([x_t, h_{t-1}], W))
+        h_t = i_t * x_t + (1 - i_t) * h_{t-1}
+
+    (reference: model_convlstm.py:276-292). `use_bias=False` matches the
+    UAVSal instantiation (reference: model.py:328-329).
+    """
+
+    hidden_dim: int = 256
+    kernel_size: int = 3
+    use_bias: bool = False
+
+    def init_state(self, height: int, width: int, dtype=jnp.float32) -> jnp.ndarray:
+        return jnp.zeros((height, width, self.hidden_dim), dtype)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, state: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        s, h, w, cin = x.shape
+        k = self.kernel_size
+        kernel = self.param(
+            "kernel",
+            make_conv_init("kaiming_normal", mode="fan_out"),
+            (k, k, cin + self.hidden_dim, self.hidden_dim),
+        )
+        bias = (
+            self.param("bias", make_conv_init("zeros"), (self.hidden_dim,))
+            if self.use_bias
+            else None
+        )
+        w_x, w_h = kernel[:, :, :cin], kernel[:, :, cin:]
+
+        # Hoisted input projection: one big conv over all S frames.
+        gx = _conv_hwio(x, w_x)
+        if bias is not None:
+            gx = gx + bias
+
+        def step(h_prev, inp):
+            x_t, gx_t = inp
+            gate = jax.nn.sigmoid(
+                gx_t + _conv_hwio(h_prev[None], w_h)[0]
+            )
+            h_new = gate * x_t + (1.0 - gate) * h_prev
+            return h_new, h_new
+
+        h_last, ys = lax.scan(step, state, (x, gx))
+        return ys, h_last
+
+
+class ConvLSTM(nn.Module):
+    """Full 4-gate ConvLSTM (ablation UAVSAL_LSTM; reference:
+    model_convlstm.py:73-126). State is (h, c) stacked on a leading axis 2."""
+
+    hidden_dim: int = 256
+    kernel_size: int = 3
+    use_bias: bool = False
+
+    def init_state(self, height: int, width: int, dtype=jnp.float32) -> jnp.ndarray:
+        return jnp.zeros((2, height, width, self.hidden_dim), dtype)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, state: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        s, h, w, cin = x.shape
+        k = self.kernel_size
+        kernel = self.param(
+            "kernel",
+            make_conv_init("xavier_uniform"),
+            (k, k, cin + self.hidden_dim, 4 * self.hidden_dim),
+        )
+        bias = (
+            self.param("bias", make_conv_init("zeros"), (4 * self.hidden_dim,))
+            if self.use_bias
+            else None
+        )
+        w_x, w_h = kernel[:, :, :cin], kernel[:, :, cin:]
+        gx = _conv_hwio(x, w_x)
+        if bias is not None:
+            gx = gx + bias
+
+        def step(hc, inp):
+            x_t, gx_t = inp
+            h_prev, c_prev = hc[0], hc[1]
+            gates = gx_t + _conv_hwio(h_prev[None], w_h)[0]
+            ci, cf, co, cg = jnp.split(gates, 4, axis=-1)
+            i = jax.nn.sigmoid(ci)
+            f = jax.nn.sigmoid(cf)
+            o = jax.nn.sigmoid(co)
+            g = jnp.tanh(cg)
+            c_new = f * c_prev + i * g
+            h_new = o * jnp.tanh(c_new)
+            return jnp.stack([h_new, c_new]), h_new
+
+        hc_last, ys = lax.scan(step, state, (x, gx))
+        return ys, hc_last
+
+
+class ConvSimGRU(nn.Module):
+    """2-gate simplified GRU (reference: model_convlstm.py:568-625):
+        i = sigmoid(.); g = tanh(.); h' = i*g + (1-i)*h
+    """
+
+    hidden_dim: int = 256
+    kernel_size: int = 3
+    use_bias: bool = False
+
+    def init_state(self, height: int, width: int, dtype=jnp.float32) -> jnp.ndarray:
+        return jnp.zeros((height, width, self.hidden_dim), dtype)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, state: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        s, h, w, cin = x.shape
+        k = self.kernel_size
+        kernel = self.param(
+            "kernel",
+            make_conv_init("kaiming_normal", mode="fan_out"),
+            (k, k, cin + self.hidden_dim, 2 * self.hidden_dim),
+        )
+        bias = (
+            self.param("bias", make_conv_init("zeros"), (2 * self.hidden_dim,))
+            if self.use_bias
+            else None
+        )
+        w_x, w_h = kernel[:, :, :cin], kernel[:, :, cin:]
+        gx = _conv_hwio(x, w_x)
+        if bias is not None:
+            gx = gx + bias
+
+        def step(h_prev, inp):
+            x_t, gx_t = inp
+            gates = gx_t + _conv_hwio(h_prev[None], w_h)[0]
+            ci, cg = jnp.split(gates, 2, axis=-1)
+            i = jax.nn.sigmoid(ci)
+            g = jnp.tanh(cg)
+            h_new = i * g + (1.0 - i) * h_prev
+            return h_new, h_new
+
+        h_last, ys = lax.scan(step, state, (x, gx))
+        return ys, h_last
+
+
+class _TWADWCell(nn.Module):
+    """One ConvTWA_DW step: dwBlock gate over concat([x, h]) then lerp."""
+
+    hidden_dim: int
+    kernel_size: int
+
+    @nn.compact
+    def __call__(self, h_prev: jnp.ndarray, x_t: jnp.ndarray):
+        combined = jnp.concatenate([x_t, h_prev], axis=-1)[None]
+        g = DWBlock(
+            self.hidden_dim,
+            self.kernel_size,
+            expand_ratio=4,
+            res_connect=False,
+            kernel_init_kwargs={"mode": "fan_out"},
+            name="rnn_conv",
+        )(combined, train=False)
+        gate = jax.nn.sigmoid(g[0])
+        h_new = gate * x_t + (1.0 - gate) * h_prev
+        return h_new, h_new
+
+
+class ConvTWADW(nn.Module):
+    """TWA with a depthwise-separable gate (reference: model_convlstm.py:403-457).
+
+    The gate is a dwBlock over concat([x, h]) (expand_ratio=4); its expand
+    conv is not linearly separable across the concat, so the full block runs
+    inside the scan via `nn.scan` (params broadcast, BN in inference mode).
+    """
+
+    hidden_dim: int = 256
+    kernel_size: int = 3
+
+    def init_state(self, height: int, width: int, dtype=jnp.float32) -> jnp.ndarray:
+        return jnp.zeros((height, width, self.hidden_dim), dtype)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, state: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        scanned = nn.scan(
+            _TWADWCell,
+            variable_broadcast=["params", "batch_stats"],
+            split_rngs={"params": False},
+        )(self.hidden_dim, self.kernel_size, name="cell")
+        h_last, ys = scanned(state, x)
+        return ys, h_last

@@ -1,0 +1,372 @@
+"""UAVSal: the full UAV-video saliency model + the ablation zoo.
+
+TPU-native re-design of the reference model graph (reference: model.py:254-375
+and ablations :558-1076). Data layout differences from the reference:
+
+- Activations are NHWC; the frame sequence is the leading axis (S, H, W, C),
+  where S = batch_size * time_dims flattened exactly like the reference's
+  B·D dimension (the recurrence runs over all S frames of one video,
+  reference: model.py:367-369).
+- Priors are passed as single maps (Ho, Wo, 8) / (Ho, Wo, 20) and processed
+  ONCE per call, then broadcast across frames. The reference convolves
+  per-frame copies (model.py:349-353) — identical math (the maps are
+  frame-constant, and BatchNorm statistics over identical copies equal the
+  single-copy statistics), at 1/S the FLOPs.
+- The stateful recurrence is explicit: `apply(..., x, priors, state)` returns
+  `(saliency, new_state)`; state is reset per video and `stop_gradient`-ed at
+  clip boundaries by the trainer (TBPTT, reference: Demo_Train_Test.py:144).
+
+Reference-compat quirk flags (see SURVEY.md):
+- `compat_cxt_tile=True` reproduces the reference's t-major
+  `cb_cxt.repeat(time_dims, 1, 1, 1)` tiling (model.py:361), which
+  misaligns context with frames when batch_size > 1. Set False for the
+  aligned variant.
+- `TeConvSub.diff_per_clip` (in stblock.py) likewise defaults to the
+  reference's whole-batch frame differences.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.layers import ConvBNAct, DWBlock
+from ..ops.resize import resize_bilinear_align_corners
+from .recurrent import ConvLSTM, ConvTWA
+from .srfnet import SRFNet
+from .stblock import STBlock, STBlockS2T, STBlockSS2T, STBlockT2S, STC23D, STC3D, TeConvSub
+
+_FAN_OUT = dict(kernel_init_kwargs={"mode": "fan_out"})
+
+NB_GAUSSIAN = 8
+NB_OB = 20
+CB_OUPLANES = (64, 64, 64)
+
+ST_TYPES = {
+    "st": STBlock,
+    "s2t": STBlockS2T,
+    "t2s": STBlockT2S,
+    "s_s2t": STBlockSS2T,
+}
+
+
+class MultiPriors(nn.Module):
+    """MP-Net prior fusion (reference: model.py:281-324 init, :346-365 forward).
+
+    Takes trunk features (S, Ho, Wo, planes) plus the static prior maps and
+    returns the prior-fused features. Prior streams use the reference's
+    default kaiming fan_in init (init_weights with no mode kwarg,
+    model.py:297/306/315).
+    """
+
+    planes: int = 256
+    time_dims: int = 5
+    bias_type: Sequence[int] = (1, 1, 1)
+    compat_cxt_tile: bool = True
+
+    @nn.compact
+    def __call__(self, x, gauss_prior, ob_prior, train: bool = False):
+        use_gauss, use_ob, use_cxt = [bool(b) for b in self.bias_type]
+        if not (use_gauss or use_ob or use_cxt):
+            return x
+
+        s, ho, wo, c = x.shape
+        cb_fu = []
+        n_frames_parts = []
+
+        if use_gauss:
+            g = gauss_prior[None]  # (1, Ho, Wo, 8)
+            g = DWBlock(CB_OUPLANES[0], 3, name="gauss_cb_layer_0")(g, train)
+            g = DWBlock(CB_OUPLANES[0], 3, name="gauss_cb_layer_1")(g, train)
+            cb_fu.append(jnp.broadcast_to(g, (s, ho, wo, CB_OUPLANES[0])))
+
+        if use_ob:
+            o = ob_prior[None]  # (1, Ho, Wo, 20)
+            o = DWBlock(CB_OUPLANES[1], 3, name="ob_cb_layer_0")(o, train)
+            o = DWBlock(CB_OUPLANES[1], 3, name="ob_cb_layer_1")(o, train)
+            cb_fu.append(jnp.broadcast_to(o, (s, ho, wo, CB_OUPLANES[1])))
+
+        if use_cxt:
+            t = self.time_dims
+            groups = s // t
+            x_cb = x.reshape(groups, t, ho, wo, c).sum(axis=1)  # (G, Ho, Wo, C)
+            cxt = DWBlock(CB_OUPLANES[2], 3, stride=2, name="cxt_cb_prior_0")(x_cb, train)
+            cxt = DWBlock(CB_OUPLANES[2], 3, stride=2, name="cxt_cb_prior_1")(cxt, train)
+            cxt = resize_bilinear_align_corners(cxt, ho, wo)
+            if self.compat_cxt_tile:
+                # reference: cb_cxt.repeat(time_dims,1,1,1) — t-major tiling
+                cxt = jnp.tile(cxt, (t, 1, 1, 1))
+            else:
+                cxt = jnp.repeat(cxt, t, axis=0)  # group-major (frame-aligned)
+            cb_fu.append(cxt)
+
+        cb = jnp.concatenate(cb_fu, axis=-1)
+        cb_last = self.planes // 4
+        x_cb = DWBlock(cb_last, 3, name="fucb_layer")(cb, train)
+        x = DWBlock(self.planes, 3, name="fucbst_layer")(
+            jnp.concatenate([x, x_cb], axis=-1), train
+        )
+        return x
+
+
+class _Trunk(nn.Module):
+    """Shared trunk: SRF-Net -> N spatial-temporal blocks -> fuse dwBlock."""
+
+    cnn_type: str = "mobilenet_v2"
+    planes: int = 256
+    time_dims: int = 5
+    num_stblock: int = 2
+    st_type: str = "st"
+    st_block_cls: Optional[type] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = SRFNet(self.cnn_type, last_channel=self.planes, name="sfnet")(x, train)
+        block = self.st_block_cls or ST_TYPES[self.st_type]
+        kw = {} if block in (STC3D, STC23D) else {"reduction": self.planes // 32}
+        for i in range(self.num_stblock):
+            x = block(
+                planes=self.planes,
+                time_dims=self.time_dims,
+                res_connect=True,
+                name=f"st_layer_{i}",
+                **kw,
+            )(x, train)
+        x = DWBlock(self.planes, 3, name="fust_layer", **_FAN_OUT)(x, train)
+        return x
+
+
+class UAVSal(nn.Module):
+    """The full model: trunk -> MP-Net -> ConvTWA -> 1-ch head -> sigmoid
+    (reference: model.py:254-375).
+
+    __call__(x, gauss_prior, ob_prior, state) -> (saliency, new_state)
+      x           : (S, H, W, 3) normalized frames, S % time_dims == 0
+      gauss_prior : (H//8, W//8, 8)  or None when bias_type[0] == 0
+      ob_prior    : (H//8, W//8, 20) or None when bias_type[1] == 0
+      state       : (H//8, W//8, planes) carried TWA hidden (zeros at video start)
+    """
+
+    cnn_type: str = "mobilenet_v2"
+    time_dims: int = 5
+    num_stblock: int = 2
+    bias_type: Sequence[int] = (1, 1, 1)
+    planes: int = 256
+    compat_cxt_tile: bool = True
+
+    def init_state(self, height: int, width: int, dtype=jnp.float32) -> jnp.ndarray:
+        """Zero TWA state for an input of (height, width) pixels."""
+        return jnp.zeros((height // 8, width // 8, self.planes), dtype)
+
+    @nn.compact
+    def __call__(self, x, gauss_prior, ob_prior, state, train: bool = False):
+        x = _Trunk(
+            self.cnn_type, self.planes, self.time_dims, self.num_stblock, name="trunk"
+        )(x, train)
+        x = MultiPriors(
+            self.planes,
+            self.time_dims,
+            self.bias_type,
+            self.compat_cxt_tile,
+            name="mp",
+        )(x, gauss_prior, ob_prior, train)
+
+        x, new_state = ConvTWA(self.planes, 3, use_bias=False, name="rnn")(x, state)
+
+        out = DWBlock(1, 3, name="conv_out_st", **_FAN_OUT)(x, train)
+        return jax.nn.sigmoid(out), new_state
+
+
+class UAVSalSpConv(nn.Module):
+    """Sp-Net ablation: plain dwBlocks for the ST stage (reference: model.py:582-620)."""
+
+    cnn_type: str = "mobilenet_v2"
+    num_stblock: int = 2
+    planes: int = 256
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = SRFNet(self.cnn_type, last_channel=self.planes, name="sfnet")(x, train)
+        for i in range(self.num_stblock):
+            x = DWBlock(self.planes, 3, res_connect=True, name=f"st_layer_{i}", **_FAN_OUT)(
+                x, train
+            )
+        x = DWBlock(self.planes, 3, name="fust_layer", **_FAN_OUT)(x, train)
+        out = DWBlock(1, 3, name="conv_out_st", **_FAN_OUT)(x, train)
+        return jax.nn.sigmoid(out)
+
+
+class UAVSalTeConv(nn.Module):
+    """Te-Net ablation: teConv-only ST stage (reference: model.py:622-662)."""
+
+    cnn_type: str = "mobilenet_v2"
+    time_dims: int = 5
+    num_stblock: int = 2
+    planes: int = 256
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = SRFNet(self.cnn_type, last_channel=self.planes, name="sfnet")(x, train)
+        for i in range(self.num_stblock):
+            x = TeConvSub(
+                self.planes,
+                self.time_dims,
+                reduction=self.planes // 32,
+                res_connect=True,
+                name=f"st_layer_{i}",
+            )(x, train)
+        x = DWBlock(self.planes, 3, name="fust_layer", **_FAN_OUT)(x, train)
+        out = DWBlock(1, 3, name="conv_out_st", **_FAN_OUT)(x, train)
+        return jax.nn.sigmoid(out)
+
+
+class UAVSalSTBlocks(nn.Module):
+    """ST-Net ablation (reference: model.py:666-705). Returns (out, features)."""
+
+    cnn_type: str = "mobilenet_v2"
+    time_dims: int = 5
+    num_stblock: int = 2
+    planes: int = 256
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = _Trunk(
+            self.cnn_type, self.planes, self.time_dims, self.num_stblock, name="trunk"
+        )(x, train)
+        out = DWBlock(1, 3, name="conv_out_st", **_FAN_OUT)(x, train)
+        return jax.nn.sigmoid(out), x
+
+
+class UAVSalSTBlocksType(nn.Module):
+    """ST ordering ablation: st/s2t/t2s/s_s2t (reference: model.py:708-758)."""
+
+    cnn_type: str = "mobilenet_v2"
+    time_dims: int = 5
+    num_stblock: int = 2
+    planes: int = 256
+    st_type: str = "st"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = _Trunk(
+            self.cnn_type,
+            self.planes,
+            self.time_dims,
+            self.num_stblock,
+            st_type=self.st_type,
+            name="trunk",
+        )(x, train)
+        out = DWBlock(1, 3, name="conv_out_st", **_FAN_OUT)(x, train)
+        return jax.nn.sigmoid(out)
+
+
+class UAVSalSTC3D(nn.Module):
+    """3D-conv temporal ablation (reference: model.py:760-800)."""
+
+    cnn_type: str = "mobilenet_v2"
+    time_dims: int = 5
+    num_stblock: int = 2
+    planes: int = 256
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = _Trunk(
+            self.cnn_type,
+            self.planes,
+            self.time_dims,
+            self.num_stblock,
+            st_block_cls=STC3D,
+            name="trunk",
+        )(x, train)
+        out = DWBlock(1, 3, name="conv_out_st", **_FAN_OUT)(x, train)
+        return jax.nn.sigmoid(out)
+
+
+class UAVSalSTC23D(nn.Module):
+    """2D+3D-conv ablation (reference: model.py:802-841)."""
+
+    cnn_type: str = "mobilenet_v2"
+    time_dims: int = 5
+    num_stblock: int = 2
+    planes: int = 256
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = _Trunk(
+            self.cnn_type,
+            self.planes,
+            self.time_dims,
+            self.num_stblock,
+            st_block_cls=STC23D,
+            name="trunk",
+        )(x, train)
+        out = DWBlock(1, 3, name="conv_out_st", **_FAN_OUT)(x, train)
+        return jax.nn.sigmoid(out)
+
+
+class UAVSalMP(nn.Module):
+    """MP-Net ablation: trunk + priors, no recurrence (reference: model.py:845-957)."""
+
+    cnn_type: str = "mobilenet_v2"
+    time_dims: int = 5
+    num_stblock: int = 2
+    bias_type: Sequence[int] = (1, 1, 1)
+    planes: int = 256
+    compat_cxt_tile: bool = True
+
+    @nn.compact
+    def __call__(self, x, gauss_prior, ob_prior, train: bool = False):
+        x = _Trunk(
+            self.cnn_type, self.planes, self.time_dims, self.num_stblock, name="trunk"
+        )(x, train)
+        x = MultiPriors(
+            self.planes, self.time_dims, self.bias_type, self.compat_cxt_tile, name="mp"
+        )(x, gauss_prior, ob_prior, train)
+        out = DWBlock(1, 3, name="conv_out_st", **_FAN_OUT)(x, train)
+        return jax.nn.sigmoid(out)
+
+
+class UAVSalLSTM(nn.Module):
+    """ConvLSTM-recurrence ablation (reference: model.py:960-1076)."""
+
+    cnn_type: str = "mobilenet_v2"
+    time_dims: int = 5
+    num_stblock: int = 2
+    bias_type: Sequence[int] = (1, 1, 1)
+    planes: int = 256
+    compat_cxt_tile: bool = True
+
+    def init_state(self, height: int, width: int, dtype=jnp.float32) -> jnp.ndarray:
+        return jnp.zeros((2, height // 8, width // 8, self.planes), dtype)
+
+    @nn.compact
+    def __call__(self, x, gauss_prior, ob_prior, state, train: bool = False):
+        x = _Trunk(
+            self.cnn_type, self.planes, self.time_dims, self.num_stblock, name="trunk"
+        )(x, train)
+        x = MultiPriors(
+            self.planes, self.time_dims, self.bias_type, self.compat_cxt_tile, name="mp"
+        )(x, gauss_prior, ob_prior, train)
+        x, new_state = ConvLSTM(self.planes, 3, use_bias=False, name="rnn")(x, state)
+        out = DWBlock(1, 3, name="conv_out_st", **_FAN_OUT)(x, train)
+        return jax.nn.sigmoid(out), new_state
+
+
+MODEL_ZOO = {
+    "uavsal": UAVSal,
+    "uavsal_spconv": UAVSalSpConv,
+    "uavsal_teconv": UAVSalTeConv,
+    "uavsal_stblocks": UAVSalSTBlocks,
+    "uavsal_stblocks_type": UAVSalSTBlocksType,
+    "uavsal_stc3d": UAVSalSTC3D,
+    "uavsal_stc2_3d": UAVSalSTC23D,
+    "uavsal_mp": UAVSalMP,
+    "uavsal_lstm": UAVSalLSTM,
+}
+
+
+def build_model(name: str = "uavsal", **kwargs) -> nn.Module:
+    return MODEL_ZOO[name.lower()](**kwargs)

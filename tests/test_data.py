@@ -1,0 +1,136 @@
+"""Data layer tests: letterbox parity, priors math, MATLAB v7.3 I/O round-trip
+(validated against the reference's shipped hdf5storage-written .mat assets)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from iip_uavsal_saliency_tpu.data.letterbox import (
+    im2uint8,
+    normalize_frames,
+    padding,
+    padding_fixation,
+    postprocess_prediction,
+    resize_fixation,
+)
+from iip_uavsal_saliency_tpu.data.matio import loadmat, savemat
+from iip_uavsal_saliency_tpu.data.priors import (
+    dy_gaussian_priors,
+    gaussian_priors,
+    get_gauss_priors,
+)
+
+REF_DIR = "/root/reference"
+
+
+def test_padding_landscape_into_wider():
+    """720x1280 -> 360x640: pure resize, no pad."""
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 255, (720, 1280, 3), np.uint8)
+    out = padding(img, 360, 640, 3)
+    assert out.shape == (360, 640, 3)
+    assert out[0].any()  # no top pad
+
+
+def test_padding_tall_image_pads_columns():
+    img = np.full((100, 50), 200, np.uint8)
+    out = padding(img, 50, 100, 1)
+    assert out.shape == (50, 100)
+    # rows_rate (2) > cols_rate (0.5): resized to 25 cols centered
+    assert (out[:, :37] == 0).all() and (out[:, 38:62] > 0).all()
+
+
+def test_padding_fixation_remaps_points():
+    img = np.zeros((90, 160), np.uint8)
+    img[45, 80] = 1
+    out = padding_fixation(img, 45, 80)
+    assert out.shape == (45, 80)
+    assert out.sum() == 1
+    r, c = np.argwhere(out)[0]
+    assert abs(r - 22) <= 1 and abs(c - 40) <= 1
+
+
+def test_resize_fixation_count_preserved_upscale():
+    img = np.zeros((45, 80), np.uint8)
+    img[[3, 20, 40], [5, 40, 70]] = 1
+    out = resize_fixation(img, 720, 1280)
+    assert out.sum() == 3
+
+
+def test_normalize_frames():
+    x = np.full((2, 4, 4, 3), 255, np.uint8)
+    out = normalize_frames(x)
+    expected = (1.0 - np.array([0.485, 0.456, 0.406])) / np.array([0.229, 0.224, 0.225])
+    np.testing.assert_allclose(out[0, 0, 0], expected, rtol=1e-5)
+
+
+def test_im2uint8():
+    x = np.array([-5.0, 0.4, 128.5, 300.0])
+    np.testing.assert_array_equal(im2uint8(x), [0, 0, 128, 255])
+
+
+def test_postprocess_prediction_roundtrip_shape():
+    pred = np.random.RandomState(1).rand(45, 80).astype(np.float32)
+    out = postprocess_prediction(pred, 720, 1280)
+    assert out.shape == (720, 1280)
+    assert abs(out.max() - 255.0) < 1e-3
+
+
+def test_gaussian_priors_formula():
+    g = gaussian_priors(45, 80, 8)
+    assert g.shape == (45, 80, 8)
+    # symmetric around center; peak at center for all sigmas
+    for k in range(8):
+        m = g[:, :, k]
+        r, c = np.unravel_index(m.argmax(), m.shape)
+        assert abs(r - 22) <= 1 and abs(c - 40) <= 1
+    # wider sigma -> flatter map
+    assert g[:, :, 0].max() > g[:, :, 7].max()
+
+
+def test_dy_gaussian_priors_shape():
+    g = dy_gaussian_priors(45, 80, 8)
+    assert g.shape == (45, 80, 8)
+
+
+def test_matio_roundtrip(tmp_path):
+    path = str(tmp_path / "t.mat")
+    a = np.random.RandomState(0).rand(45, 80, 8).astype(np.float32)
+    b = np.random.RandomState(1).randint(0, 255, (720, 1280, 1, 7), np.uint8)
+    savemat(path, {"PriorMaps": a, "salmap": b})
+    md = loadmat(path)
+    np.testing.assert_array_equal(md["PriorMaps"], a)
+    np.testing.assert_array_equal(md["salmap"], b)
+    # userblock: MATLAB 7.3 header present
+    with open(path, "rb") as f:
+        head = f.read(128)
+    assert head.startswith(b"MATLAB 7.3 MAT-file")
+    assert head[124:126] == b"\x00\x02" and head[126:128] == b"IM"
+
+
+@pytest.mark.skipif(not os.path.exists(REF_DIR), reason="reference assets not mounted")
+def test_loadmat_reads_reference_assets():
+    """Our reader must consume hdf5storage-written v7.3 files with the layout
+    the reference documents: PriorMaps 45x80x8 / 45x80x20 float32."""
+    g = loadmat(os.path.join(REF_DIR, "gauss_priors.mat"), "PriorMaps")
+    assert g.shape == (45, 80, 8) and g.dtype == np.float32
+    ob = loadmat(os.path.join(REF_DIR, "UAV2_ob_priors_train.mat"), "PriorMaps")
+    assert ob.shape == (45, 80, 20) and ob.dtype == np.float32
+    assert 0.0 <= float(g.min()) and float(g.max()) <= 1.0 + 1e-6
+
+
+@pytest.mark.skipif(not os.path.exists(REF_DIR), reason="reference assets not mounted")
+def test_gauss_priors_match_reference_cache():
+    """Analytic generation == the reference's shipped cache (same formula)."""
+    ref = loadmat(os.path.join(REF_DIR, "gauss_priors.mat"), "PriorMaps")
+    ours = get_gauss_priors(45, 80, 8, cache_dir="/nonexistent_dir_forces_generate")
+    np.testing.assert_allclose(ours, ref, atol=2e-6)
+
+
+def test_get_gauss_priors_cache_roundtrip(tmp_path):
+    d = str(tmp_path)
+    a = get_gauss_priors(45, 80, 8, cache_dir=d)
+    assert os.path.exists(os.path.join(d, "gauss_priors.mat"))
+    b = get_gauss_priors(45, 80, 8, cache_dir=d)  # from cache
+    np.testing.assert_allclose(a, b, atol=1e-6)

@@ -1,0 +1,175 @@
+"""Golden tests: losses/metrics vs independent torch implementations of the
+reference formulas (loss_functions.py, utils_score_torch.py)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from iip_uavsal_saliency_tpu.training.losses import (
+    loss_fu,
+    loss_kl,
+    loss_ml,
+    metric_cc,
+    metric_kl,
+    metric_nss,
+    metric_sim,
+)
+from iip_uavsal_saliency_tpu.evaluation.metrics_jax import eval_auc_judd
+from iip_uavsal_saliency_tpu.evaluation.metrics_np import (
+    auc_borji_np,
+    auc_judd_np,
+    auc_shuffled_np,
+    cc_np,
+    kld_np,
+    nss_np,
+    sim_np,
+)
+
+EPS = 2.2204e-16
+
+
+def _torch_ref_metrics(pred, true):
+    """Independent torch restatement of reference loss_functions.py:64-99."""
+    p = torch.from_numpy(pred.transpose(0, 3, 1, 2)).double()
+    t = torch.from_numpy(true.transpose(0, 3, 1, 2)).double()
+
+    def get(fn, x):
+        return fn(x, dim=(2, 3), keepdim=True)
+
+    tm = t[:, 0:1]
+    tsum = tm.sum((2, 3), keepdim=True)
+    psum = p.sum((2, 3), keepdim=True)
+    kl = ((tm / (tsum + EPS)) * torch.log((tm / (tsum + EPS)) / (p / (psum + EPS) + EPS) + EPS)).sum((2, 3))
+
+    tz = (tm - tm.mean((2, 3), keepdim=True)) / (tm.std((2, 3), keepdim=True) + EPS)
+    pz = (p - p.mean((2, 3), keepdim=True)) / (p.std((2, 3), keepdim=True) + EPS)
+    tz = tz - tz.mean((2, 3), keepdim=True)
+    pz = pz - pz.mean((2, 3), keepdim=True)
+    r1 = (tz * pz).sum((2, 3))
+    r2 = torch.sqrt((pz * pz).sum((2, 3)) * (tz * tz).sum((2, 3)))
+    cc = r1 / (r2 + EPS)
+
+    f = t[:, 1:2]
+    pn = (p - p.mean((2, 3), keepdim=True)) / (p.std((2, 3), keepdim=True) + EPS)
+    nss = (f * pn).sum((2, 3)) / (f.sum((2, 3)) + EPS)
+
+    def mm(x, fn):
+        return fn(fn(x, 2, keepdim=True)[0], 3, keepdim=True)[0]
+
+    tn = (tm - mm(tm, torch.min)) / (mm(tm, torch.max) - mm(tm, torch.min) + EPS)
+    pq = (p - mm(p, torch.min)) / (mm(p, torch.max) - mm(p, torch.min) + EPS)
+    tn = tn / (tn.sum((2, 3), keepdim=True) + EPS)
+    pq = pq / (pq.sum((2, 3), keepdim=True) + EPS)
+    sim = torch.minimum(tn, pq).sum((2, 3))
+
+    return (
+        kl.numpy()[:, 0],
+        cc.numpy()[:, 0],
+        nss.numpy()[:, 0],
+        sim.numpy()[:, 0],
+    )
+
+
+@pytest.fixture(scope="module")
+def batch():
+    rng = np.random.RandomState(7)
+    n, h, w = 4, 45, 80
+    pred = rng.rand(n, h, w, 1).astype(np.float64)
+    fixmap = rng.rand(n, h, w, 1).astype(np.float64)
+    fixpts = (rng.rand(n, h, w, 1) > 0.99).astype(np.float64)
+    fixpts[:, 20, 40, 0] = 1.0  # ensure at least one fixation
+    true = np.concatenate([fixmap, fixpts], axis=-1)
+    return pred, true
+
+
+def test_metrics_match_torch_reference(batch):
+    pred, true = batch
+    kl_r, cc_r, nss_r, sim_r = _torch_ref_metrics(pred, true)
+    np.testing.assert_allclose(metric_kl(jnp.asarray(pred), jnp.asarray(true)), kl_r, rtol=2e-5)
+    np.testing.assert_allclose(metric_cc(jnp.asarray(pred), jnp.asarray(true)), cc_r, rtol=2e-5)
+    np.testing.assert_allclose(metric_nss(jnp.asarray(pred), jnp.asarray(true)), nss_r, rtol=2e-5)
+    np.testing.assert_allclose(metric_sim(jnp.asarray(pred), jnp.asarray(true)), sim_r, rtol=2e-5)
+
+
+def test_loss_fu_composite(batch):
+    pred, true = batch
+    kl_r, cc_r, nss_r, _ = _torch_ref_metrics(pred, true)
+    expected = (10 * kl_r - 2 * cc_r - nss_r).mean()
+    got = float(loss_fu(jnp.asarray(pred), jnp.asarray(true)))
+    np.testing.assert_allclose(got, expected, rtol=2e-5)
+    got_kl = float(loss_kl(jnp.asarray(pred), jnp.asarray(true)))
+    np.testing.assert_allclose(got_kl, 10 * kl_r.mean(), rtol=2e-5)
+
+
+def test_loss_ml(batch):
+    pred, true = batch
+    p = torch.from_numpy(pred.transpose(0, 3, 1, 2)).double()
+    t = torch.from_numpy(true.transpose(0, 3, 1, 2)).double()[:, 0:1]
+    pm = p.amax((2, 3), keepdim=True)
+    ref = (((p / (pm + EPS)) - t) ** 2 / (1 - t + 0.1)).mean().item()
+    got = float(loss_ml(jnp.asarray(pred), jnp.asarray(true)))
+    np.testing.assert_allclose(got, ref, rtol=2e-5)
+
+
+def test_np_metrics_match_jax(batch):
+    pred, true = batch
+    for i in range(pred.shape[0]):
+        s, fmap, fpts = pred[i, :, :, 0], true[i, :, :, 0], true[i, :, :, 1]
+        np.testing.assert_allclose(
+            kld_np(s, fmap), float(metric_kl(jnp.asarray(pred[i : i + 1]), jnp.asarray(true[i : i + 1]))[0]), rtol=2e-5
+        )
+        np.testing.assert_allclose(
+            cc_np(s, fmap), float(metric_cc(jnp.asarray(pred[i : i + 1]), jnp.asarray(true[i : i + 1]))[0]), rtol=2e-5
+        )
+        np.testing.assert_allclose(
+            nss_np(s, fpts), float(metric_nss(jnp.asarray(pred[i : i + 1]), jnp.asarray(true[i : i + 1]))[0]), rtol=2e-5
+        )
+        np.testing.assert_allclose(
+            sim_np(s, fmap), float(metric_sim(jnp.asarray(pred[i : i + 1]), jnp.asarray(true[i : i + 1]))[0]), rtol=2e-5
+        )
+
+
+def test_auc_judd_rank_equals_sweep(batch):
+    """Device rank-based AUC-Judd == host threshold-sweep (no jitter, distinct values)."""
+    pred, true = batch
+    got = np.asarray(eval_auc_judd(jnp.asarray(pred), jnp.asarray(true)))
+    for i in range(pred.shape[0]):
+        ref = auc_judd_np(pred[i, :, :, 0], true[i, :, :, 1], jitter=False)
+        np.testing.assert_allclose(got[i], ref, rtol=2e-5)
+
+
+def test_auc_judd_degenerate_cases():
+    pred = np.zeros((1, 8, 8, 1))
+    true = np.zeros((1, 8, 8, 2))
+    assert np.isnan(auc_judd_np(pred[0, :, :, 0], true[0, :, :, 1]))
+    assert np.isnan(np.asarray(eval_auc_judd(jnp.asarray(pred), jnp.asarray(true)))[0])
+
+
+def test_auc_borji_sanity():
+    """Perfect saliency at fixations -> AUC near 1; uniform -> near 0.5."""
+    rng = np.random.RandomState(0)
+    fpts = np.zeros((45, 80))
+    fpts[rng.randint(0, 45, 30), rng.randint(0, 80, 30)] = 1
+    perfect = fpts * 1.0 + rng.rand(45, 80) * 0.01
+    assert auc_borji_np(perfect, fpts, rng=np.random.RandomState(1)) > 0.95
+    flat = rng.rand(45, 80)
+    assert abs(auc_borji_np(flat, fpts, rng=np.random.RandomState(2)) - 0.5) < 0.1
+
+
+def test_auc_shuffled_sanity():
+    """Center-biased saliency scores lower under center-biased negatives."""
+    rng = np.random.RandomState(3)
+    yy, xx = np.mgrid[0:45, 0:80]
+    center = np.exp(-(((yy - 22) / 10.0) ** 2 + ((xx - 40) / 18.0) ** 2))
+    fpts = np.zeros((45, 80))
+    fpts[rng.randint(15, 30, 20), rng.randint(30, 50, 20)] = 1  # central fixations
+    oth_center = np.zeros((45, 80))
+    oth_center[rng.randint(15, 30, 200), rng.randint(30, 50, 200)] = 1
+    oth_uniform = np.zeros((45, 80))
+    oth_uniform[rng.randint(0, 45, 200), rng.randint(0, 80, 200)] = 1
+    s_center = auc_shuffled_np(center, fpts, oth_center, rng=np.random.RandomState(4))
+    s_uniform = auc_shuffled_np(center, fpts, oth_uniform, rng=np.random.RandomState(5))
+    assert s_uniform > s_center

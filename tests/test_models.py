@@ -1,0 +1,163 @@
+"""Model graph tests: shapes, statefulness, param budget, vectorized temporal diffs."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from iip_uavsal_saliency_tpu.models import UAVSal, build_model
+from iip_uavsal_saliency_tpu.models.recurrent import ConvLSTM, ConvSimGRU, ConvTWA
+from iip_uavsal_saliency_tpu.models.stblock import temporal_differences
+from iip_uavsal_saliency_tpu.ops.stats import param_bytes, param_count
+
+# Small input keeps CPU compile times manageable; strides still exercise
+# every stage (H, W must be multiples of 32 for clean pyramids).
+H, W = 64, 128
+HO, WO = H // 8, W // 8
+T = 5
+
+
+def _make_model_and_vars(seq=T, **kw):
+    model = UAVSal(time_dims=T, **kw)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(seq, H, W, 3).astype(np.float32))
+    g = jnp.asarray(rng.rand(HO, WO, 8).astype(np.float32))
+    o = jnp.asarray(rng.rand(HO, WO, 20).astype(np.float32))
+    s = model.init_state(H, W)
+    vars_ = model.init(jax.random.PRNGKey(0), x, g, o, s)
+    return model, vars_, (x, g, o, s)
+
+
+def test_temporal_differences_matches_reference_loop():
+    """Vectorized diffs == the reference's per-frame loop (model.py:194-198)."""
+    rng = np.random.RandomState(0)
+    x = rng.randn(7, 3, 4, 2).astype(np.float32)
+
+    # reference loop, translated to numpy channel-last
+    subs = [np.concatenate([x[1] - x[0], x[0] - x[1]], -1)]
+    for i in range(1, 6):
+        subs.append(np.concatenate([x[i] - x[i - 1], x[i] - x[i + 1]], -1))
+    subs.append(np.concatenate([x[6] - x[5], x[5] - x[6]], -1))
+    ref = np.stack(subs, 0)
+
+    got = np.asarray(temporal_differences(jnp.asarray(x)))
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_temporal_differences_per_clip():
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(10, 2, 2, 1).astype(np.float32))
+    per_clip = np.asarray(temporal_differences(x, time_dims=5))
+    ref0 = np.asarray(temporal_differences(x[:5]))
+    ref1 = np.asarray(temporal_differences(x[5:]))
+    np.testing.assert_allclose(per_clip, np.concatenate([ref0, ref1], 0), rtol=1e-6)
+
+
+def test_conv_twa_matches_naive_loop():
+    """Split-gate scan == naive concat-conv recurrence."""
+    rng = np.random.RandomState(2)
+    cin = ch = 8
+    cell = ConvTWA(hidden_dim=ch)
+    x = jnp.asarray(rng.randn(4, 6, 6, cin).astype(np.float32))
+    h0 = jnp.zeros((6, 6, ch))
+    v = cell.init(jax.random.PRNGKey(0), x, h0)
+    ys, h_last = cell.apply(v, x, h0)
+
+    # naive: conv(concat([x_t, h]), W) per step
+    from jax import lax
+
+    k = np.asarray(v["params"]["kernel"])
+    h = np.zeros((6, 6, ch), np.float32)
+    outs = []
+    for t in range(4):
+        comb = np.concatenate([np.asarray(x[t]), h], -1)[None]
+        z = lax.conv_general_dilated(
+            jnp.asarray(comb), jnp.asarray(k), (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        gate = np.asarray(jax.nn.sigmoid(z))[0]
+        h = gate * np.asarray(x[t]) + (1 - gate) * h
+        outs.append(h)
+    np.testing.assert_allclose(np.asarray(ys), np.stack(outs), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h_last), outs[-1], rtol=1e-4, atol=1e-5)
+
+
+def test_conv_twa_state_carry_changes_output():
+    cell = ConvTWA(hidden_dim=4)
+    x = jnp.ones((3, 4, 4, 4))
+    h0 = jnp.zeros((4, 4, 4))
+    v = cell.init(jax.random.PRNGKey(0), x, h0)
+    y0, s0 = cell.apply(v, x, h0)
+    y1, s1 = cell.apply(v, x, s0)
+    assert not np.allclose(np.asarray(y0), np.asarray(y1))
+
+
+def test_conv_lstm_and_gru_shapes():
+    for cell, state_shape in [
+        (ConvLSTM(hidden_dim=4), (2, 4, 4, 4)),
+        (ConvSimGRU(hidden_dim=4), (4, 4, 4)),
+    ]:
+        x = jnp.ones((3, 4, 4, 4))
+        s = jnp.zeros(state_shape)
+        v = cell.init(jax.random.PRNGKey(0), x, s)
+        y, s2 = cell.apply(v, x, s)
+        assert y.shape == (3, 4, 4, 4)
+        assert s2.shape == state_shape
+
+
+def test_uavsal_forward_shapes_and_state():
+    model, vars_, (x, g, o, s) = _make_model_and_vars()
+    y, s2 = model.apply(vars_, x, g, o, s)
+    assert y.shape == (T, HO, WO, 1)
+    assert s2.shape == s.shape
+    assert float(y.min()) >= 0.0 and float(y.max()) <= 1.0
+    # stateful: second clip differs from replay of first
+    y2, _ = model.apply(vars_, x, g, o, s2)
+    assert not np.allclose(np.asarray(y), np.asarray(y2))
+
+
+def test_uavsal_param_budget():
+    """Reference UAVSal = 51.59 MB of fp32 params+buffers
+    (reference: Tools/Getmodelsize_demo.py:93). BN running stats live in
+    batch_stats here; params+batch_stats should land within ~2%."""
+    model, vars_, _ = _make_model_and_vars()
+    total = param_bytes(vars_["params"]) + param_bytes(vars_["batch_stats"])
+    mb = total / 1024 / 1024
+    assert 50.0 < mb < 53.0, f"param budget {mb:.2f} MB"
+
+
+def test_uavsal_bias_type_variants():
+    for bias_type in [(0, 0, 0), (1, 0, 0), (0, 1, 1)]:
+        model, vars_, (x, g, o, s) = _make_model_and_vars(bias_type=bias_type)
+        y, _ = model.apply(vars_, x, g, o, s)
+        assert y.shape == (T, HO, WO, 1)
+
+
+@pytest.mark.parametrize(
+    "name,needs_priors,needs_state,extra",
+    [
+        ("uavsal_spconv", False, False, {}),
+        ("uavsal_teconv", False, False, {}),
+        ("uavsal_stblocks", False, False, {}),
+        ("uavsal_stblocks_type", False, False, {"st_type": "s2t"}),
+        ("uavsal_stc3d", False, False, {}),
+        ("uavsal_stc2_3d", False, False, {}),
+        ("uavsal_mp", True, False, {}),
+        ("uavsal_lstm", True, True, {}),
+    ],
+)
+def test_ablation_zoo_forward(name, needs_priors, needs_state, extra):
+    kw = dict(extra)
+    if name != "uavsal_spconv":
+        kw["time_dims"] = T
+    model = build_model(name, **kw)
+    x = jnp.zeros((T, H, W, 3))
+    args = [x]
+    if needs_priors:
+        args += [jnp.zeros((HO, WO, 8)), jnp.zeros((HO, WO, 20))]
+    if needs_state:
+        args += [model.init_state(H, W)]
+    vars_ = model.init(jax.random.PRNGKey(0), *args)
+    out = model.apply(vars_, *args)
+    y = out[0] if isinstance(out, tuple) else out
+    assert y.shape == (T, HO, WO, 1)

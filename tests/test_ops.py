@@ -1,0 +1,136 @@
+"""Golden tests for core ops against independent NumPy/torch formulas."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from iip_uavsal_saliency_tpu.ops import (
+    ConvBNAct,
+    DWBlock,
+    resize_bilinear_align_corners,
+    resize_bilinear_half_pixel,
+)
+from iip_uavsal_saliency_tpu.ops.initializers import _conv_fans, kaiming_normal, xavier_uniform
+from iip_uavsal_saliency_tpu.ops.layers import relu6
+
+
+def test_relu6():
+    x = jnp.array([-3.0, 0.0, 2.5, 6.0, 9.0])
+    np.testing.assert_allclose(relu6(x), [0.0, 0.0, 2.5, 6.0, 6.0])
+
+
+def test_conv_fans_match_torch_semantics():
+    # HWIO (3,3,16,32): torch OIHW (32,16,3,3): fan_in=16*9, fan_out=32*9
+    fi, fo = _conv_fans((3, 3, 16, 32))
+    assert (fi, fo) == (144.0, 288.0)
+    # depthwise HWIO (3,3,1,64): torch (64,1,3,3): fan_in=9, fan_out=576
+    fi, fo = _conv_fans((3, 3, 1, 64))
+    assert (fi, fo) == (9.0, 576.0)
+
+
+def test_kaiming_normal_stats():
+    k = jax.random.PRNGKey(0)
+    w = kaiming_normal(k, (3, 3, 64, 128), mode="fan_out")
+    expected_std = np.sqrt(2.0 / (128 * 9))
+    assert abs(float(w.std()) - expected_std) / expected_std < 0.05
+
+
+def test_xavier_uniform_bounds():
+    k = jax.random.PRNGKey(0)
+    w = xavier_uniform(k, (3, 3, 512, 256))
+    bound = np.sqrt(6.0 / (512 * 9 + 256 * 9))
+    assert float(jnp.abs(w).max()) <= bound + 1e-7
+
+
+def _torch_bilinear(x_nchw, out_h, out_w, align_corners):
+    torch = pytest.importorskip("torch")
+    t = torch.from_numpy(x_nchw)
+    y = torch.nn.functional.interpolate(
+        t, size=(out_h, out_w), mode="bilinear", align_corners=align_corners
+    )
+    return y.numpy()
+
+
+@pytest.mark.parametrize("shape_out", [(45, 80), (23, 40), (90, 161)])
+def test_resize_align_corners_matches_torch(shape_out):
+    rng = np.random.RandomState(0)
+    x = rng.rand(2, 7, 12, 20).astype(np.float32)  # NCHW for torch
+    ref = _torch_bilinear(x, *shape_out, align_corners=True)
+    got = resize_bilinear_align_corners(jnp.asarray(x.transpose(0, 2, 3, 1)), *shape_out)
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), ref, rtol=1e-5, atol=1e-5)
+
+
+def test_resize_half_pixel_matches_cv2():
+    cv2 = pytest.importorskip("cv2")
+    rng = np.random.RandomState(1)
+    x = rng.rand(45, 80).astype(np.float32)
+    ref = cv2.resize(x, (640, 360), interpolation=cv2.INTER_LINEAR)
+    got = resize_bilinear_half_pixel(jnp.asarray(x), 360, 640)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-4, atol=1e-5)
+
+
+def test_conv_bn_act_shapes_and_padding():
+    m = ConvBNAct(16, kernel_size=3, dilation=6)
+    x = jnp.ones((2, 12, 20, 8))
+    v = m.init(jax.random.PRNGKey(0), x)
+    y = m.apply(v, x)
+    assert y.shape == (2, 12, 20, 16)
+    assert float(y.min()) >= 0.0 and float(y.max()) <= 6.0
+
+
+def test_dwblock_residual_rules():
+    x = jnp.ones((1, 8, 8, 32))
+    # same in/out, stride 1 -> residual
+    m = DWBlock(32)
+    v = m.init(jax.random.PRNGKey(0), x)
+    assert m.apply(v, x).shape == (1, 8, 8, 32)
+    # stride 2 halves spatial
+    m2 = DWBlock(64, stride=2)
+    v2 = m2.init(jax.random.PRNGKey(0), x)
+    assert m2.apply(v2, x).shape == (1, 4, 4, 64)
+
+
+def test_dwblock_matches_torch_reference_math():
+    """Full numeric check of the inverted residual vs an independent torch impl."""
+    torch = pytest.importorskip("torch")
+    tnn = torch.nn
+
+    rng = np.random.RandomState(42)
+    inp, oup, k, dil = 8, 8, 3, 2
+    hidden = inp * 6
+    x = rng.randn(2, 6, 10, inp).astype(np.float32)
+
+    m = DWBlock(oup, kernel_size=k, dilation=dil)
+    v = m.init(jax.random.PRNGKey(0), jnp.asarray(x))
+
+    # build equivalent torch module in eval mode
+    pad = dil * (k - 1) // 2
+    t = tnn.Sequential(
+        tnn.Conv2d(inp, hidden, 1, bias=False),
+        tnn.BatchNorm2d(hidden),
+        tnn.ReLU6(),
+        tnn.Conv2d(hidden, hidden, k, padding=pad, dilation=dil, groups=hidden, bias=False),
+        tnn.BatchNorm2d(hidden),
+        tnn.ReLU6(),
+        tnn.Conv2d(hidden, oup, 1, bias=False),
+        tnn.BatchNorm2d(oup),
+    ).eval()
+
+    p = v["params"]
+    with torch.no_grad():
+        t[0].weight.copy_(torch.from_numpy(np.asarray(p["expand"]["conv"]["kernel"]).transpose(3, 2, 0, 1)))
+        t[3].weight.copy_(torch.from_numpy(np.asarray(p["dw"]["conv"]["kernel"]).transpose(3, 2, 0, 1)))
+        t[6].weight.copy_(torch.from_numpy(np.asarray(p["project"]["kernel"]).transpose(3, 2, 0, 1)))
+        for bn_t, bn_name, parent in [(t[1], "bn", "expand"), (t[4], "bn", "dw")]:
+            bn_t.weight.copy_(torch.from_numpy(np.asarray(p[parent][bn_name]["scale"])))
+            bn_t.bias.copy_(torch.from_numpy(np.asarray(p[parent][bn_name]["bias"])))
+        t[7].weight.copy_(torch.from_numpy(np.asarray(p["project_bn"]["scale"])))
+        t[7].bias.copy_(torch.from_numpy(np.asarray(p["project_bn"]["bias"])))
+
+        ref = x.transpose(0, 3, 1, 2)
+        ref_t = torch.from_numpy(ref)
+        out_ref = (ref_t + t(ref_t)).numpy()  # residual applies (inp==oup, s=1)
+
+    got = np.asarray(m.apply(v, jnp.asarray(x))).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, out_ref, rtol=1e-4, atol=1e-5)
