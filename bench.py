@@ -1,0 +1,110 @@
+"""Headline benchmark: UAVSal inference throughput (frames/sec) on one chip.
+
+Reference point: 85 FPS on a GTX10xx/RTX30xx-era GPU at reduced 288x512 input
+(reference: README.md:104); base config is 360x640 in -> 45x80 out
+(reference: Demo_Test.py:111). We benchmark the base 360x640 configuration —
+a HARDER setting than the reference's 85 FPS point — and report
+vs_baseline = fps / 85.
+
+Prints exactly one JSON line on stdout:
+  {"metric": "inference_fps_360x640", "value": N, "unit": "frames/sec",
+   "vs_baseline": N}
+Diagnostics go to stderr.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--height", type=int, default=360)
+    ap.add_argument("--width", type=int, default=640)
+    ap.add_argument("--clips", type=int, default=4, help="clips per step (batch_size)")
+    ap.add_argument("--time-dims", type=int, default=5)
+    ap.add_argument("--videos", type=int, default=1, help="parallel videos (V axis)")
+    ap.add_argument("--steps", type=int, default=30)
+    ap.add_argument("--warmup", type=int, default=5)
+    ap.add_argument("--dtype", choices=["f32", "bf16"], default="f32")
+    ap.add_argument("--baseline-fps", type=float, default=85.0)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from iip_uavsal_saliency_tpu.models import UAVSal
+    from iip_uavsal_saliency_tpu.parallel.steps import make_infer_step
+
+    dev = jax.devices()[0]
+    log(f"device: {dev.platform} {dev.device_kind}")
+
+    h, w = args.height, args.width
+    ho, wo = h // 8, w // 8
+    s = args.clips * args.time_dims
+    v = args.videos
+
+    model = UAVSal(time_dims=args.time_dims)
+    rng = np.random.RandomState(0)
+    x_u8 = jnp.asarray(rng.randint(0, 255, (v, s, h, w, 3), np.uint8))
+    gauss = jnp.asarray(rng.rand(ho, wo, 8).astype(np.float32))
+    ob = jnp.asarray(rng.rand(ho, wo, 20).astype(np.float32))
+    state = model.init_state(h, w, v)
+
+    x_f = x_u8.astype(jnp.float32) / 255.0
+    variables = model.init(jax.random.PRNGKey(0), x_f, gauss, ob, state)
+    if args.dtype == "bf16":
+        variables = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, variables
+        )
+        x_u8 = x_u8  # normalize stays in input dtype path
+        gauss = gauss.astype(jnp.bfloat16)
+        ob = ob.astype(jnp.bfloat16)
+        state = state.astype(jnp.bfloat16)
+
+    infer = make_infer_step(model)
+    params, batch_stats = variables["params"], variables.get("batch_stats", {})
+
+    # compile + warmup
+    t0 = time.perf_counter()
+    out, st = infer(params, batch_stats, x_u8, gauss, ob, state)
+    jax.block_until_ready((out, st))
+    log(f"first call (compile+run): {time.perf_counter() - t0:.1f}s; out {out.shape}")
+
+    st_cur = state
+    for _ in range(args.warmup):
+        out, st_cur = infer(params, batch_stats, x_u8, gauss, ob, st_cur)
+    jax.block_until_ready((out, st_cur))
+
+    t0 = time.perf_counter()
+    st_cur = state
+    for _ in range(args.steps):
+        out, st_cur = infer(params, batch_stats, x_u8, gauss, ob, st_cur)
+    jax.block_until_ready((out, st_cur))
+    dt = time.perf_counter() - t0
+
+    frames = args.steps * v * s
+    fps = frames / dt
+    log(f"{frames} frames in {dt:.3f}s -> {fps:.1f} FPS ({dt / args.steps * 1e3:.2f} ms/step)")
+
+    print(
+        json.dumps(
+            {
+                "metric": f"inference_fps_{h}x{w}",
+                "value": round(fps, 1),
+                "unit": "frames/sec",
+                "vs_baseline": round(fps / args.baseline_fps, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

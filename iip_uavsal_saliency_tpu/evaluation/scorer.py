@@ -1,0 +1,283 @@
+"""Evaluation drivers: per-video 7-metric scoring with caches + aggregation.
+
+Equivalent of the reference's eval pipeline (reference:
+utils_score_torch.py:265-359 shuffle-map construction, :473-582 main driver)
+plus the MATLAB mean-score aggregation (reference: Tools/Vid_MeanScore.m) in
+Python.
+
+Structure per the reference:
+- `collect_all_fixations`  == getALLFix_vid: pool of normalized fixation
+  coords over the dataset, cached to `ALLFixPts_<DS>.npy`;
+- `sample_shufmap`         == getshufmap: random 10-frame negative map;
+- `build_shuffle_map`      == getSumFix_vid: summed-fixation variant cached
+  to `Shuffle_<DS>.mat`;
+- `evalscores_vid`         == evalscores_vid_torch: per method -> per video,
+  resume-skip on cached `Scores/<m>/Score_<vid>.mat`, salmap resized to GT
+  dims when needed, NaN rows for degenerate frames;
+- `mean_scores`            == Vid_MeanScore.m: NaN-masked per-video means,
+  then dataset means.
+
+Device/host split: KLD/CC/NSS/SIM/AUC-Judd run as ONE jitted batched program
+per video (vs the reference's per-metric per-batch loop); AUC-Borji/shuffled
+stay on host (data-dependent random splits) with vectorized threshold sweeps.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+from functools import partial
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.letterbox import resize_fixation
+from ..data.matio import loadmat, savemat
+from ..utils.logging import get_logger
+from .metrics_jax import eval_auc_judd, eval_cc, eval_kl, eval_nss, eval_sim
+from .metrics_np import auc_borji_np, auc_shuffled_np
+
+log = get_logger("eval")
+
+KEYS_ORDER = ["AUC_shuffled", "NSS", "AUC_Judd", "AUC_Borji", "KLD", "SIM", "CC"]
+
+SHUFF_SIZE = {
+    "SALICON": (480, 640),
+    "DIEM": (480, 640),
+    "DIEM20": (480, 640),
+    "CITIUS": (240, 320),
+    "SFU": (288, 352),
+    "LEDOV": (1080, 1920),
+    "LEDOV41": (1080, 1920),
+    "UAV2-TE": (720, 1280),
+    "UAV2": (720, 1280),
+    "AVS1K-TE": (720, 1280),
+    "AVS1K": (720, 1280),
+    "default": (480, 640),
+}
+
+
+@partial(jax.jit, static_argnames=())
+def _device_metrics(pred, true):
+    """One fused batched pass: KLD, CC, NSS, SIM, AUC-Judd."""
+    return (
+        eval_kl(pred, true),
+        eval_cc(pred, true),
+        eval_nss(pred, true),
+        eval_sim(pred, true),
+        eval_auc_judd(pred, true),
+    )
+
+
+def collect_all_fixations(fixs_dir: str, dataset: str = "", maxframes: float = float("inf")):
+    """Pool of per-frame normalized fixation coordinate arrays
+    (reference: utils_score_torch.py:302-332)."""
+    fix_names = sorted(f for f in os.listdir(fixs_dir) if f.endswith(".mat"))
+    dataset = dataset.upper()
+    if dataset == "CITIUS":
+        fix_names = fix_names[:45]
+    if dataset == "DIEM20":
+        maxframes = 300
+
+    all_pts = []
+    for name in fix_names:
+        fixpts = loadmat(os.path.join(fixs_dir, name), "fixLoc")
+        useframes = int(min(maxframes, fixpts.shape[3]))
+        h, w = fixpts.shape[0], fixpts.shape[1]
+        for i in range(useframes):
+            fx, fy = np.where(fixpts[:, :, 0, i])
+            all_pts.append(
+                np.stack([fx / h, fy / w], axis=1) if fx.size else np.zeros((0, 2))
+            )
+    return all_pts
+
+
+def sample_shufmap(all_fix_pts, size=(480, 640), nframes: int = 10, rng=None):
+    """Random union of `nframes` frames' fixations as the negative set
+    (reference: utils_score_torch.py:335-359)."""
+    rng = rng or np.random
+    nframes = min(nframes, len(all_fix_pts))
+    idx = rng.randint(0, len(all_fix_pts), int(nframes))
+    pts = np.concatenate([all_fix_pts[i] for i in idx], 0) if len(idx) else np.zeros((0, 2))
+    pts = pts.copy()
+    pts[:, 0] *= size[0]
+    pts[:, 1] *= size[1]
+    pts = np.round(pts).astype(np.int64)
+    ok = (pts[:, 0] < size[0]) & (pts[:, 1] < size[1])
+    pts = pts[ok]
+    shufmap = np.zeros(size, np.uint8)
+    if pts.size:
+        shufmap[pts[:, 0], pts[:, 1]] = 1
+    return shufmap
+
+
+def build_shuffle_map(fixs_dir: str, dataset: str = "", size=None, maxframes: float = float("inf")):
+    """Summed fixation map over the dataset (reference: utils_score_torch.py:265-299)."""
+    dataset = dataset.upper()
+    if size is None:
+        size = SHUFF_SIZE.get(dataset, SHUFF_SIZE["default"])
+    fix_names = sorted(f for f in os.listdir(fixs_dir) if f.endswith(".mat"))
+    if dataset == "DIEM20":
+        maxframes = 300
+    shufmap = np.zeros(size)
+    for name in fix_names:
+        fixpts = loadmat(os.path.join(fixs_dir, name), "fixLoc")
+        useframes = int(min(maxframes, fixpts.shape[3]))
+        fixpts = fixpts[:, :, :, :useframes]
+        if fixpts.shape[:2] != tuple(size):
+            stack = np.stack(
+                [resize_fixation(fixpts[:, :, 0, i], size[0], size[1]) for i in range(useframes)],
+                axis=2,
+            )
+            shufmap += stack.sum(axis=2)
+        else:
+            shufmap += fixpts[:, :, 0, :].sum(axis=2)
+        shufmap = np.round(shufmap)
+    return shufmap
+
+
+def _score_video(salmap, fixmap, fixpts, all_fix_pts, keys_order, batch_size, rng):
+    """(T, len(keys)) score matrix for one video."""
+    import cv2
+
+    nframes = min(salmap.shape[3], fixpts.shape[3], fixmap.shape[3])
+    scores = np.zeros((nframes, len(keys_order)))
+
+    # salmap -> GT resolution if needed (reference: utils_score_torch.py:529-536)
+    if salmap.shape[:2] != fixmap.shape[:2]:
+        sal = np.stack(
+            [
+                cv2.resize(
+                    salmap[:, :, 0, i].astype(np.float32),
+                    (fixmap.shape[1], fixmap.shape[0]),
+                )
+                for i in range(nframes)
+            ]
+        )
+    else:
+        sal = salmap[:, :, 0, :nframes].transpose(2, 0, 1).astype(np.float32)
+
+    gt_map = fixmap[:, :, 0, :nframes].transpose(2, 0, 1).astype(np.float32)
+    gt_pts = fixpts[:, :, 0, :nframes].transpose(2, 0, 1).astype(np.float32)
+
+    pred = sal[..., None]
+    true = np.stack([gt_map, gt_pts], axis=-1)
+
+    # device metrics, batched
+    kl, cc, nss, sim, aucj = [], [], [], [], []
+    for b in range(0, nframes, batch_size):
+        p = jnp.asarray(pred[b : b + batch_size])
+        t = jnp.asarray(true[b : b + batch_size])
+        r = _device_metrics(p, t)
+        kl.append(np.asarray(r[0]))
+        cc.append(np.asarray(r[1]))
+        nss.append(np.asarray(r[2]))
+        sim.append(np.asarray(r[3]))
+        aucj.append(np.asarray(r[4]))
+    device_vals = {
+        "KLD": np.concatenate(kl),
+        "CC": np.concatenate(cc),
+        "NSS": np.concatenate(nss),
+        "SIM": np.concatenate(sim),
+        "AUC_Judd": np.concatenate(aucj),
+    }
+
+    for k, key in enumerate(keys_order):
+        if key in device_vals:
+            scores[:, k] = device_vals[key][:nframes]
+        elif key == "AUC_Borji":
+            scores[:, k] = [
+                auc_borji_np(sal[i], gt_pts[i], rng=rng) for i in range(nframes)
+            ]
+        elif key == "AUC_shuffled":
+            for i in range(nframes):
+                shufmap = sample_shufmap(all_fix_pts, size=sal.shape[1:], rng=rng)
+                scores[i, k] = auc_shuffled_np(sal[i], gt_pts[i], shufmap, rng=rng)
+        else:
+            raise KeyError(key)
+
+    # NaN degenerate frames (reference: utils_score_torch.py:566-572)
+    for i in range(nframes):
+        if not np.any(sal[i]) or not (np.any(gt_map[i]) and np.any(gt_pts[i])):
+            scores[i, :] = np.nan
+    return scores
+
+
+def evalscores_vid(
+    root_dir: str,
+    sal_dir: str,
+    dataset: str,
+    method_names: Sequence[str],
+    keys_order: Sequence[str] = KEYS_ORDER,
+    batch_size: int = 32,
+    rng: Optional[np.random.RandomState] = None,
+) -> None:
+    """Main eval driver (reference: utils_score_torch.py:473-582)."""
+    rng = rng or np.random.RandomState()
+    maps_dir = os.path.join(root_dir, "maps")
+    fixs_dir = os.path.join(root_dir, "fixations", "maps")
+    sals_dir = os.path.join(sal_dir, "Saliency")
+    score_dir = os.path.join(sal_dir, "Scores")
+    os.makedirs(score_dir, exist_ok=True)
+
+    log.info("evaluate metrics: %s", list(keys_order))
+    all_fix_pts = []
+    if "AUC_shuffled" in keys_order:
+        cache = os.path.join(root_dir, f"ALLFixPts_{dataset.upper()}.npy")
+        if not os.path.exists(cache):
+            all_fix_pts = collect_all_fixations(fixs_dir, dataset)
+            np.save(cache, np.array(all_fix_pts, dtype=object), allow_pickle=True)
+        else:
+            all_fix_pts = list(np.load(cache, allow_pickle=True))
+
+    for m_idx, method in enumerate(method_names):
+        log.info("--- %d/%d: %s", m_idx + 1, len(method_names), method)
+        iscore_dir = os.path.join(score_dir, method)
+        os.makedirs(iscore_dir, exist_ok=True)
+        salmap_dir = os.path.join(sals_dir, method)
+        sal_names = sorted(f for f in os.listdir(salmap_dir) if f.endswith(".mat"))
+
+        for n_idx, name in enumerate(sal_names):
+            file_name = name[:-4]
+            iscore_path = os.path.join(iscore_dir, f"Score_{file_name}.mat")
+            if os.path.exists(iscore_path):  # resume (reference :515-519)
+                continue
+            t0 = time.time()
+            salmap = loadmat(os.path.join(salmap_dir, name), "salmap")
+            fixmap = loadmat(os.path.join(maps_dir, file_name + "_fixMaps.mat"), "fixMap")
+            fixpts = loadmat(os.path.join(fixs_dir, file_name + "_fixPts.mat"), "fixLoc")
+            iscores = _score_video(
+                salmap, fixmap, fixpts, all_fix_pts, keys_order, batch_size, rng
+            )
+            savemat(iscore_path, {"iscore": iscores})
+            log.info(
+                "%d/%d %s: %d frames %.2fs", n_idx + 1, len(sal_names), file_name,
+                iscores.shape[0], time.time() - t0,
+            )
+
+
+def mean_scores(
+    sal_dir: str,
+    method_names: Sequence[str],
+    keys_order: Sequence[str] = KEYS_ORDER,
+) -> Dict[str, Dict[str, float]]:
+    """Dataset-mean scores per method — NaN-masked per-video frame means then
+    video means (replaces reference Tools/Vid_MeanScore.m:49-57)."""
+    score_dir = os.path.join(sal_dir, "Scores")
+    out: Dict[str, Dict[str, float]] = {}
+    for method in method_names:
+        iscore_dir = os.path.join(score_dir, method)
+        per_video = []
+        for f in sorted(os.listdir(iscore_dir)):
+            if not f.endswith(".mat"):
+                continue
+            iscores = loadmat(os.path.join(iscore_dir, f), "iscore")
+            with np.errstate(invalid="ignore"):
+                per_video.append(np.nanmean(iscores, axis=0))
+        means = np.nanmean(np.stack(per_video), axis=0) if per_video else np.full(len(keys_order), np.nan)
+        out[method] = {k: float(means[i]) for i, k in enumerate(keys_order)}
+        log.info("%s: %s", method, {k: round(v, 4) for k, v in out[method].items()})
+    return out

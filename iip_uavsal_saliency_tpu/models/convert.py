@@ -1,0 +1,292 @@
+"""Weight converters: reference PyTorch checkpoints -> our flax variables.
+
+The reference loads pickled full-model .pth files with `strict=False`
+(reference: model.py:337-339, Demo_Test.py:33-39) and pretrained torchvision
+MobileNetV2 backbones (reference: model_feature.py:59). This module maps
+those state_dicts onto our parameter pytree so that:
+- ImageNet-pretrained backbones can seed training, and
+- reference-trained UAVSal checkpoints can be run for output parity tests.
+
+Layout transforms: torch conv OIHW (O, I/g, kh, kw) -> flax HWIO
+(kh, kw, I/g, O) via transpose(2, 3, 1, 0); BN weight/bias ->
+scale/bias params, running_mean/var -> batch_stats.
+
+Name map (reference module -> our flax path), derived from
+model.py/model_feature.py/model_convlstm.py structure:
+
+  sfnet.features.features.{i}     -> trunk/sfnet/features/features_{i}
+  sfnet.{conv_lv3,...,conv_last}  -> trunk/sfnet/<same>
+  st_layer.{i}.*                  -> trunk/st_layer_{i}/*
+  fust_layer.0                    -> trunk/fust_layer
+  {gauss_cb,ob_cb}_layer.{j}      -> mp/{gauss_cb,ob_cb}_layer_{j}
+  cxt_cb_prior.{j}                -> mp/cxt_cb_prior_{j}
+  {fucb,fucbst}_layer.0           -> mp/{fucb,fucbst}_layer
+  rnn.cell_list.0.rnn_conv        -> rnn (single fused HWIO kernel)
+  conv_out_st                     -> conv_out_st
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping, Tuple
+
+import numpy as np
+
+Params = Dict[str, Any]
+Stats = Dict[str, Any]
+
+
+def _t(w) -> np.ndarray:
+    """torch conv OIHW -> flax HWIO."""
+    w = np.asarray(w)
+    return w.transpose(2, 3, 1, 0)
+
+
+def _get(sd: Mapping[str, Any], key: str) -> np.ndarray:
+    return np.asarray(sd[key])
+
+
+def _conv_bn(sd, conv_key, bn_key) -> Tuple[Params, Stats]:
+    """BasicConv2d (Conv + BN): returns ({'conv': ..., 'bn': ...}, stats)."""
+    params = {
+        "conv": {"kernel": _t(_get(sd, conv_key + ".weight"))},
+        "bn": {
+            "scale": _get(sd, bn_key + ".weight"),
+            "bias": _get(sd, bn_key + ".bias"),
+        },
+    }
+    stats = {
+        "bn": {
+            "mean": _get(sd, bn_key + ".running_mean"),
+            "var": _get(sd, bn_key + ".running_var"),
+        }
+    }
+    return params, stats
+
+
+def _dwblock(sd, prefix, expand: bool = True) -> Tuple[Params, Stats]:
+    """dwBlock: [expand] -> dw -> project(+bn). Torch layer indices within
+    `<prefix>.conv`: with expand: 0.0/0.1 (pw), 1.0/1.1 (dw), 2 (pw-linear),
+    3 (bn); without expand (ratio 1): 0.0/0.1 (dw), 1 (pw-linear), 2 (bn)."""
+    p: Params = {}
+    s: Stats = {}
+    if expand:
+        pe, se = _conv_bn(sd, f"{prefix}.conv.0.0", f"{prefix}.conv.0.1")
+        p["expand"], s["expand"] = pe, se
+        dw_c, dw_b, proj, proj_bn = (
+            f"{prefix}.conv.1.0", f"{prefix}.conv.1.1", f"{prefix}.conv.2", f"{prefix}.conv.3",
+        )
+    else:
+        dw_c, dw_b, proj, proj_bn = (
+            f"{prefix}.conv.0.0", f"{prefix}.conv.0.1", f"{prefix}.conv.1", f"{prefix}.conv.2",
+        )
+    pd, sd_ = _conv_bn(sd, dw_c, dw_b)
+    p["dw"], s["dw"] = pd, sd_
+    p["project"] = {"kernel": _t(_get(sd, proj + ".weight"))}
+    p["project_bn"] = {
+        "scale": _get(sd, proj_bn + ".weight"),
+        "bias": _get(sd, proj_bn + ".bias"),
+    }
+    s["project_bn"] = {
+        "mean": _get(sd, proj_bn + ".running_mean"),
+        "var": _get(sd, proj_bn + ".running_var"),
+    }
+    return p, s
+
+
+def _basic(sd, prefix) -> Tuple[Params, Stats]:
+    """BasicConv2d stored as Sequential(conv, bn, relu): keys `<p>.0`, `<p>.1`."""
+    return _conv_bn(sd, f"{prefix}.0", f"{prefix}.1")
+
+
+def convert_mobilenet_v2_backbone(sd: Mapping[str, Any], prefix: str = "") -> Tuple[Params, Stats]:
+    """torchvision mobilenet_v2 `features.*` -> our features_{i} tree.
+    `prefix` is prepended to torch keys (e.g. 'sfnet.features.' for a full
+    reference checkpoint, '' for a raw torchvision state_dict)."""
+    params: Params = {}
+    stats: Stats = {}
+    # features.0: ConvBNReLU(Sequential conv, bn, relu6)
+    p, s = _conv_bn(sd, f"{prefix}features.0.0", f"{prefix}features.0.1")
+    params["features_0"], stats["features_0"] = p, s
+    for i in range(1, 18):
+        expand = i != 1  # features.1 has expand_ratio 1
+        p, s = _dwblock(sd, f"{prefix}features.{i}", expand=expand)
+        params[f"features_{i}"], stats[f"features_{i}"] = p, s
+    return params, stats
+
+
+def convert_uavsal_state_dict(
+    sd: Mapping[str, Any],
+    num_stblock: int = 2,
+    bias_type=(1, 1, 1),
+) -> Dict[str, Any]:
+    """Full reference UAVSal state_dict -> {'params': ..., 'batch_stats': ...}."""
+    params: Params = {"trunk": {"sfnet": {}}, "mp": {}}
+    stats: Stats = {"trunk": {"sfnet": {}}, "mp": {}}
+
+    # backbone
+    bp, bs = convert_mobilenet_v2_backbone(sd, prefix="sfnet.features.")
+    params["trunk"]["sfnet"]["features"] = bp
+    stats["trunk"]["sfnet"]["features"] = bs
+
+    # SRF-Net laterals + ASPP
+    for name in ("conv_lv3", "conv_lv4", "lv5_aspp1", "conv_lv5", "conv_last"):
+        p, s = _basic(sd, f"sfnet.{name}")
+        params["trunk"]["sfnet"][name], stats["trunk"]["sfnet"][name] = p, s
+    for name in ("lv5_aspp2", "lv5_aspp3", "lv5_aspp4"):
+        p, s = _dwblock(sd, f"sfnet.{name}")
+        params["trunk"]["sfnet"][name], stats["trunk"]["sfnet"][name] = p, s
+
+    # ST blocks
+    for i in range(num_stblock):
+        blk_p: Params = {}
+        blk_s: Stats = {}
+        p, s = _dwblock(sd, f"st_layer.{i}.stconv_sp.spconv")
+        blk_p["stconv_sp"] = {"spconv": p}
+        blk_s["stconv_sp"] = {"spconv": s}
+        te_p: Params = {}
+        te_s: Stats = {}
+        p, s = _basic(sd, f"st_layer.{i}.stconv_te.reduce_conv")
+        te_p["reduce_conv"], te_s["reduce_conv"] = p, s
+        p, s = _dwblock(sd, f"st_layer.{i}.stconv_te.sub_conv")
+        te_p["sub_conv"], te_s["sub_conv"] = p, s
+        p, s = _basic(sd, f"st_layer.{i}.stconv_te.last_conv")
+        te_p["last_conv"], te_s["last_conv"] = p, s
+        blk_p["stconv_te"], blk_s["stconv_te"] = te_p, te_s
+        p, s = _basic(sd, f"st_layer.{i}.stconv_last")
+        blk_p["stconv_last"], blk_s["stconv_last"] = p, s
+        params["trunk"][f"st_layer_{i}"], stats["trunk"][f"st_layer_{i}"] = blk_p, blk_s
+
+    p, s = _dwblock(sd, "fust_layer.0")
+    params["trunk"]["fust_layer"], stats["trunk"]["fust_layer"] = p, s
+
+    # MP-Net
+    use_gauss, use_ob, use_cxt = [bool(b) for b in bias_type]
+    if use_gauss:
+        for j in range(2):
+            p, s = _dwblock(sd, f"gauss_cb_layer.{j}")
+            params["mp"][f"gauss_cb_layer_{j}"], stats["mp"][f"gauss_cb_layer_{j}"] = p, s
+    if use_ob:
+        for j in range(2):
+            p, s = _dwblock(sd, f"ob_cb_layer.{j}")
+            params["mp"][f"ob_cb_layer_{j}"], stats["mp"][f"ob_cb_layer_{j}"] = p, s
+    if use_cxt:
+        for j in range(2):
+            p, s = _dwblock(sd, f"cxt_cb_prior.{j}")
+            params["mp"][f"cxt_cb_prior_{j}"], stats["mp"][f"cxt_cb_prior_{j}"] = p, s
+    if use_gauss or use_ob or use_cxt:
+        p, s = _dwblock(sd, "fucb_layer.0")
+        params["mp"]["fucb_layer"], stats["mp"]["fucb_layer"] = p, s
+        p, s = _dwblock(sd, "fucbst_layer.0")
+        params["mp"]["fucbst_layer"], stats["mp"]["fucbst_layer"] = p, s
+
+    # TWA recurrence: single conv over concat([x, h])
+    params["rnn"] = {"kernel": _t(_get(sd, "rnn.cell_list.0.rnn_conv.weight"))}
+
+    p, s = _dwblock(sd, "conv_out_st")
+    params["conv_out_st"], stats["conv_out_st"] = p, s
+
+    return {"params": params, "batch_stats": stats}
+
+
+def _inv_t(w) -> np.ndarray:
+    """flax HWIO -> torch OIHW."""
+    return np.asarray(w).transpose(3, 2, 0, 1)
+
+
+def _export_conv_bn(p: Params, s: Stats, conv_key: str, bn_key: str, out: Dict[str, np.ndarray]):
+    out[conv_key + ".weight"] = _inv_t(p["conv"]["kernel"])
+    out[bn_key + ".weight"] = np.asarray(p["bn"]["scale"])
+    out[bn_key + ".bias"] = np.asarray(p["bn"]["bias"])
+    out[bn_key + ".running_mean"] = np.asarray(s["bn"]["mean"])
+    out[bn_key + ".running_var"] = np.asarray(s["bn"]["var"])
+
+
+def _export_dwblock(p: Params, s: Stats, prefix: str, out: Dict[str, np.ndarray]):
+    expand = "expand" in p
+    if expand:
+        _export_conv_bn(p["expand"], s["expand"], f"{prefix}.conv.0.0", f"{prefix}.conv.0.1", out)
+        dw_c, dw_b, proj, proj_bn = (
+            f"{prefix}.conv.1.0", f"{prefix}.conv.1.1", f"{prefix}.conv.2", f"{prefix}.conv.3",
+        )
+    else:
+        dw_c, dw_b, proj, proj_bn = (
+            f"{prefix}.conv.0.0", f"{prefix}.conv.0.1", f"{prefix}.conv.1", f"{prefix}.conv.2",
+        )
+    _export_conv_bn(p["dw"], s["dw"], dw_c, dw_b, out)
+    out[proj + ".weight"] = _inv_t(p["project"]["kernel"])
+    out[proj_bn + ".weight"] = np.asarray(p["project_bn"]["scale"])
+    out[proj_bn + ".bias"] = np.asarray(p["project_bn"]["bias"])
+    out[proj_bn + ".running_mean"] = np.asarray(s["project_bn"]["mean"])
+    out[proj_bn + ".running_var"] = np.asarray(s["project_bn"]["var"])
+
+
+def export_uavsal_state_dict(variables: Mapping[str, Any], num_stblock: int = 2,
+                             bias_type=(1, 1, 1)) -> Dict[str, np.ndarray]:
+    """Inverse of convert_uavsal_state_dict: our variables -> reference-named
+    torch-layout tensors (for interop with the reference tooling, and the
+    round-trip test of the name map)."""
+    p, s = variables["params"], variables["batch_stats"]
+    out: Dict[str, np.ndarray] = {}
+
+    sf_p, sf_s = p["trunk"]["sfnet"], s["trunk"]["sfnet"]
+    _export_conv_bn(
+        sf_p["features"]["features_0"], sf_s["features"]["features_0"],
+        "sfnet.features.features.0.0", "sfnet.features.features.0.1", out,
+    )
+    for i in range(1, 18):
+        _export_dwblock(
+            sf_p["features"][f"features_{i}"], sf_s["features"][f"features_{i}"],
+            f"sfnet.features.features.{i}", out,
+        )
+    for name in ("conv_lv3", "conv_lv4", "lv5_aspp1", "conv_lv5", "conv_last"):
+        _export_conv_bn(sf_p[name], sf_s[name], f"sfnet.{name}.0", f"sfnet.{name}.1", out)
+    for name in ("lv5_aspp2", "lv5_aspp3", "lv5_aspp4"):
+        _export_dwblock(sf_p[name], sf_s[name], f"sfnet.{name}", out)
+
+    for i in range(num_stblock):
+        bp, bs = p["trunk"][f"st_layer_{i}"], s["trunk"][f"st_layer_{i}"]
+        _export_dwblock(bp["stconv_sp"]["spconv"], bs["stconv_sp"]["spconv"],
+                        f"st_layer.{i}.stconv_sp.spconv", out)
+        _export_conv_bn(bp["stconv_te"]["reduce_conv"], bs["stconv_te"]["reduce_conv"],
+                        f"st_layer.{i}.stconv_te.reduce_conv.0",
+                        f"st_layer.{i}.stconv_te.reduce_conv.1", out)
+        _export_dwblock(bp["stconv_te"]["sub_conv"], bs["stconv_te"]["sub_conv"],
+                        f"st_layer.{i}.stconv_te.sub_conv", out)
+        _export_conv_bn(bp["stconv_te"]["last_conv"], bs["stconv_te"]["last_conv"],
+                        f"st_layer.{i}.stconv_te.last_conv.0",
+                        f"st_layer.{i}.stconv_te.last_conv.1", out)
+        _export_conv_bn(bp["stconv_last"], bs["stconv_last"],
+                        f"st_layer.{i}.stconv_last.0", f"st_layer.{i}.stconv_last.1", out)
+
+    _export_dwblock(p["trunk"]["fust_layer"], s["trunk"]["fust_layer"], "fust_layer.0", out)
+
+    use_gauss, use_ob, use_cxt = [bool(b) for b in bias_type]
+    if use_gauss:
+        for j in range(2):
+            _export_dwblock(p["mp"][f"gauss_cb_layer_{j}"], s["mp"][f"gauss_cb_layer_{j}"],
+                            f"gauss_cb_layer.{j}", out)
+    if use_ob:
+        for j in range(2):
+            _export_dwblock(p["mp"][f"ob_cb_layer_{j}"], s["mp"][f"ob_cb_layer_{j}"],
+                            f"ob_cb_layer.{j}", out)
+    if use_cxt:
+        for j in range(2):
+            _export_dwblock(p["mp"][f"cxt_cb_prior_{j}"], s["mp"][f"cxt_cb_prior_{j}"],
+                            f"cxt_cb_prior.{j}", out)
+    if use_gauss or use_ob or use_cxt:
+        _export_dwblock(p["mp"]["fucb_layer"], s["mp"]["fucb_layer"], "fucb_layer.0", out)
+        _export_dwblock(p["mp"]["fucbst_layer"], s["mp"]["fucbst_layer"], "fucbst_layer.0", out)
+
+    out["rnn.cell_list.0.rnn_conv.weight"] = _inv_t(p["rnn"]["kernel"])
+    _export_dwblock(p["conv_out_st"], s["conv_out_st"], "conv_out_st", out)
+    return out
+
+
+def load_torch_checkpoint(path: str) -> Mapping[str, Any]:
+    """Load a .pth file; accepts either a pickled module or a raw state_dict.
+    Runs on CPU torch (the conversion is pure numpy afterwards)."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    sd = obj.state_dict() if hasattr(obj, "state_dict") else obj
+    return {k: v.detach().cpu().numpy() for k, v in sd.items()}

@@ -19,10 +19,11 @@ With d_i = x_{i+1} - x_i this is
 computed here as two `jnp.diff` + `concatenate` ops over the whole batch —
 one fused XLA kernel instead of S small ones.
 
-NOTE (reference quirk, kept intentionally): the difference runs over the
-whole flattened frame axis, crossing `time_dims` clip-group boundaries when
-batch_size > 1 (see SURVEY.md M5). Set `diff_per_clip=True` for the
-group-correct variant.
+NOTE (reference quirk, kept intentionally): with `diff_group=None` the
+difference runs over the whole flattened frame axis, crossing `time_dims`
+clip-group boundaries when batch_size > 1 (see SURVEY.md M5). Set
+`diff_group=time_dims` for the clip-correct variant, or to the per-video
+sequence length when several videos are flattened into one batch.
 """
 
 from __future__ import annotations
@@ -38,18 +39,18 @@ from ..ops.layers import ConvBNAct, ConvBNAct3D, DWBlock
 _FAN_OUT = dict(kernel_init_kwargs={"mode": "fan_out"})
 
 
-def temporal_differences(x: jnp.ndarray, time_dims: Optional[int] = None) -> jnp.ndarray:
+def temporal_differences(x: jnp.ndarray, group: Optional[int] = None) -> jnp.ndarray:
     """Build the 2-channel forward/backward frame differences.
 
     x: (S, H, W, C) frame-major sequence. Returns (S, H, W, 2C) with
     channels [x_i - x_{i-1}, x_i - x_{i+1}] (edges mirrored as above).
-    If `time_dims` is given, differences are computed independently per
-    consecutive group of `time_dims` frames (the quirk-free variant).
+    If `group` is given, differences are computed independently per
+    consecutive group of `group` frames.
     """
-    if time_dims is not None and x.shape[0] != time_dims:
+    if group is not None and x.shape[0] != group:
         s = x.shape[0]
-        assert s % time_dims == 0, (s, time_dims)
-        g = x.reshape(s // time_dims, time_dims, *x.shape[1:])
+        assert s % group == 0, (s, group)
+        g = x.reshape(s // group, group, *x.shape[1:])
         out = jax.vmap(lambda seq: temporal_differences(seq, None))(g)
         return out.reshape(s, *out.shape[2:])
 
@@ -74,13 +75,20 @@ class SpConv(nn.Module):
 
 class TeConvSub(nn.Module):
     """Temporal branch: reduce 1x1 -> frame differences -> dwBlock -> expand 1x1
-    (reference: model.py:173-208)."""
+    (reference: model.py:173-208).
+
+    `diff_group` controls the span of the frame differences along the
+    flattened batch: None reproduces the reference (differences over the whole
+    flattened batch, crossing clip groups — SURVEY.md M5 quirk); set it to the
+    per-video sequence length when multiple videos are flattened together
+    (differences must never cross videos), or to `time_dims` for the
+    clip-correct variant."""
 
     planes: int = 256
     time_dims: int = 5
     reduction: int = 8
     res_connect: bool = False
-    diff_per_clip: bool = False  # False == reference behavior (diff over full batch)
+    diff_group: Optional[int] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -88,7 +96,7 @@ class TeConvSub(nn.Module):
         width = self.planes // self.reduction
         x1 = ConvBNAct(width, 1, name="reduce_conv", **_FAN_OUT)(x, train)
 
-        x_sub = temporal_differences(x1, self.time_dims if self.diff_per_clip else None)
+        x_sub = temporal_differences(x1, self.diff_group)
         x_sub = DWBlock(width, 3, res_connect=False, name="sub_conv", **_FAN_OUT)(x_sub, train)
         out = ConvBNAct(self.planes, 1, name="last_conv", **_FAN_OUT)(x_sub, train)
 
@@ -105,7 +113,7 @@ class STBlock(nn.Module):
     reduction: int = 8
     fu_type: str = "sum"
     res_connect: bool = True
-    diff_per_clip: bool = False
+    diff_group: "Optional[int]" = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -117,7 +125,7 @@ class STBlock(nn.Module):
             self.planes,
             self.time_dims,
             self.reduction,
-            diff_per_clip=self.diff_per_clip,
+            diff_group=self.diff_group,
             name="stconv_te",
         )(x, train)
 
@@ -133,7 +141,7 @@ class STBlockS2T(nn.Module):
     time_dims: int = 5
     reduction: int = 8
     res_connect: bool = True
-    diff_per_clip: bool = False
+    diff_group: "Optional[int]" = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -141,7 +149,7 @@ class STBlockS2T(nn.Module):
         x_sp = SpConv(self.planes, name="stconv_sp")(x, train)
         x_te = TeConvSub(
             self.planes, self.time_dims, self.reduction,
-            diff_per_clip=self.diff_per_clip, name="stconv_te",
+            diff_group=self.diff_group, name="stconv_te",
         )(x_sp, train)
         out = ConvBNAct(self.planes, 1, name="stconv_last", **_FAN_OUT)(x_te, train)
         return x + out if use_res else out
@@ -154,14 +162,14 @@ class STBlockT2S(nn.Module):
     time_dims: int = 5
     reduction: int = 8
     res_connect: bool = True
-    diff_per_clip: bool = False
+    diff_group: "Optional[int]" = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         use_res = self.res_connect and x.shape[-1] == self.planes
         x_te = TeConvSub(
             self.planes, self.time_dims, self.reduction,
-            diff_per_clip=self.diff_per_clip, name="stconv_te",
+            diff_group=self.diff_group, name="stconv_te",
         )(x, train)
         x_sp = SpConv(self.planes, name="stconv_sp")(x_te, train)
         out = ConvBNAct(self.planes, 1, name="stconv_last", **_FAN_OUT)(x_sp, train)
@@ -175,7 +183,7 @@ class STBlockSS2T(nn.Module):
     time_dims: int = 5
     reduction: int = 8
     res_connect: bool = True
-    diff_per_clip: bool = False
+    diff_group: "Optional[int]" = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -183,7 +191,7 @@ class STBlockSS2T(nn.Module):
         x_sp = SpConv(self.planes, name="stconv_sp")(x, train)
         x_te = TeConvSub(
             self.planes, self.time_dims, self.reduction,
-            diff_per_clip=self.diff_per_clip, name="stconv_te",
+            diff_group=self.diff_group, name="stconv_te",
         )(x_sp, train)
         out = ConvBNAct(self.planes, 1, name="stconv_last", **_FAN_OUT)(x_sp + x_te, train)
         return x + out if use_res else out

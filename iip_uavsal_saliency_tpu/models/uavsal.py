@@ -3,10 +3,12 @@
 TPU-native re-design of the reference model graph (reference: model.py:254-375
 and ablations :558-1076). Data layout differences from the reference:
 
-- Activations are NHWC; the frame sequence is the leading axis (S, H, W, C),
+- Activations are NHWC. Stateful models take (V, S, H, W, 3): V parallel
+  videos (the data-parallel axis; V=1 == the reference), S frames per video
   where S = batch_size * time_dims flattened exactly like the reference's
   B·D dimension (the recurrence runs over all S frames of one video,
-  reference: model.py:367-369).
+  reference: model.py:367-369). Stateless ablation models keep the flat
+  (S, H, W, 3) layout.
 - Priors are passed as single maps (Ho, Wo, 8) / (Ho, Wo, 20) and processed
   ONCE per call, then broadcast across frames. The reference convolves
   per-frame copies (model.py:349-353) — identical math (the maps are
@@ -21,8 +23,9 @@ Reference-compat quirk flags (see SURVEY.md):
   `cb_cxt.repeat(time_dims, 1, 1, 1)` tiling (model.py:361), which
   misaligns context with frames when batch_size > 1. Set False for the
   aligned variant.
-- `TeConvSub.diff_per_clip` (in stblock.py) likewise defaults to the
-  reference's whole-batch frame differences.
+- `TeConvSub.diff_group` (in stblock.py) likewise defaults to the
+  reference's whole-batch frame differences; with V>1 it is bounded to the
+  per-video sequence so differences never cross videos.
 """
 
 from __future__ import annotations
@@ -113,7 +116,12 @@ class MultiPriors(nn.Module):
 
 
 class _Trunk(nn.Module):
-    """Shared trunk: SRF-Net -> N spatial-temporal blocks -> fuse dwBlock."""
+    """Shared trunk: SRF-Net -> N spatial-temporal blocks -> fuse dwBlock.
+
+    Operates on a flattened (N, H, W, 3) frame batch. `diff_group` bounds the
+    temporal-difference span (per-video sequence length when several videos
+    are flattened together; None == reference whole-batch behavior).
+    """
 
     cnn_type: str = "mobilenet_v2"
     planes: int = 256
@@ -121,12 +129,16 @@ class _Trunk(nn.Module):
     num_stblock: int = 2
     st_type: str = "st"
     st_block_cls: Optional[type] = None
+    diff_group: Optional[int] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = SRFNet(self.cnn_type, last_channel=self.planes, name="sfnet")(x, train)
         block = self.st_block_cls or ST_TYPES[self.st_type]
-        kw = {} if block in (STC3D, STC23D) else {"reduction": self.planes // 32}
+        if block in (STC3D, STC23D):
+            kw = {}
+        else:
+            kw = {"reduction": self.planes // 32, "diff_group": self.diff_group}
         for i in range(self.num_stblock):
             x = block(
                 planes=self.planes,
@@ -144,10 +156,20 @@ class UAVSal(nn.Module):
     (reference: model.py:254-375).
 
     __call__(x, gauss_prior, ob_prior, state) -> (saliency, new_state)
-      x           : (S, H, W, 3) normalized frames, S % time_dims == 0
+      x           : (V, S, H, W, 3) normalized frames — V parallel videos
+                    (the data-parallel axis; V=1 matches the reference),
+                    S frames each with S % time_dims == 0
       gauss_prior : (H//8, W//8, 8)  or None when bias_type[0] == 0
       ob_prior    : (H//8, W//8, 20) or None when bias_type[1] == 0
-      state       : (H//8, W//8, planes) carried TWA hidden (zeros at video start)
+      state       : (V, H//8, W//8, planes) carried TWA hidden
+                    (zeros at each video start; stop-gradient at clip
+                    boundaries is the trainer's job)
+
+    TPU dataflow: the conv trunk runs on the flattened (V*S) frame batch —
+    one large conv/BN batch (in train mode this is global-batch BN across
+    all videos; the reference's single-video case is unchanged). The
+    recurrence vmaps over V: sequential in S, parallel across videos, so DP
+    sharding of V keeps every chip's MXU busy during the scan.
     """
 
     cnn_type: str = "mobilenet_v2"
@@ -157,27 +179,47 @@ class UAVSal(nn.Module):
     planes: int = 256
     compat_cxt_tile: bool = True
 
-    def init_state(self, height: int, width: int, dtype=jnp.float32) -> jnp.ndarray:
-        """Zero TWA state for an input of (height, width) pixels."""
-        return jnp.zeros((height // 8, width // 8, self.planes), dtype)
+    def init_state(self, height: int, width: int, n_videos: int = 1, dtype=jnp.float32):
+        """Zero TWA state for inputs of (height, width) pixels."""
+        return jnp.zeros((n_videos, height // 8, width // 8, self.planes), dtype)
 
     @nn.compact
     def __call__(self, x, gauss_prior, ob_prior, state, train: bool = False):
+        v, s, h, w, c = x.shape
+        x = x.reshape(v * s, h, w, c)
+
         x = _Trunk(
-            self.cnn_type, self.planes, self.time_dims, self.num_stblock, name="trunk"
+            self.cnn_type,
+            self.planes,
+            self.time_dims,
+            self.num_stblock,
+            diff_group=s if v > 1 else None,  # V=1: reference whole-batch diffs
+            name="trunk",
         )(x, train)
         x = MultiPriors(
             self.planes,
             self.time_dims,
             self.bias_type,
-            self.compat_cxt_tile,
+            # the reference's t-major context tile is only meaningful for a
+            # single video; with V>1 it would leak context across videos
+            self.compat_cxt_tile and v == 1,
             name="mp",
         )(x, gauss_prior, ob_prior, train)
 
-        x, new_state = ConvTWA(self.planes, 3, use_bias=False, name="rnn")(x, state)
+        ho, wo = x.shape[1], x.shape[2]
+        x = x.reshape(v, s, ho, wo, self.planes)
+        rnn = nn.vmap(
+            ConvTWA,
+            in_axes=(0, 0),
+            out_axes=0,
+            variable_axes={"params": None},
+            split_rngs={"params": False},
+        )(self.planes, 3, use_bias=False, name="rnn")
+        x, new_state = rnn(x, state)
+        x = x.reshape(v * s, ho, wo, self.planes)
 
         out = DWBlock(1, 3, name="conv_out_st", **_FAN_OUT)(x, train)
-        return jax.nn.sigmoid(out), new_state
+        return jax.nn.sigmoid(out).reshape(v, s, ho, wo, 1), new_state
 
 
 class UAVSalSpConv(nn.Module):
@@ -330,7 +372,9 @@ class UAVSalMP(nn.Module):
 
 
 class UAVSalLSTM(nn.Module):
-    """ConvLSTM-recurrence ablation (reference: model.py:960-1076)."""
+    """ConvLSTM-recurrence ablation (reference: model.py:960-1076).
+
+    Same (V, S, ...) layout as UAVSal; state is (V, 2, Ho, Wo, planes)."""
 
     cnn_type: str = "mobilenet_v2"
     time_dims: int = 5
@@ -339,20 +383,38 @@ class UAVSalLSTM(nn.Module):
     planes: int = 256
     compat_cxt_tile: bool = True
 
-    def init_state(self, height: int, width: int, dtype=jnp.float32) -> jnp.ndarray:
-        return jnp.zeros((2, height // 8, width // 8, self.planes), dtype)
+    def init_state(self, height: int, width: int, n_videos: int = 1, dtype=jnp.float32):
+        return jnp.zeros((n_videos, 2, height // 8, width // 8, self.planes), dtype)
 
     @nn.compact
     def __call__(self, x, gauss_prior, ob_prior, state, train: bool = False):
+        v, s, h, w, c = x.shape
+        x = x.reshape(v * s, h, w, c)
         x = _Trunk(
-            self.cnn_type, self.planes, self.time_dims, self.num_stblock, name="trunk"
+            self.cnn_type,
+            self.planes,
+            self.time_dims,
+            self.num_stblock,
+            diff_group=s if v > 1 else None,
+            name="trunk",
         )(x, train)
         x = MultiPriors(
-            self.planes, self.time_dims, self.bias_type, self.compat_cxt_tile, name="mp"
+            self.planes, self.time_dims, self.bias_type,
+            self.compat_cxt_tile and v == 1, name="mp",
         )(x, gauss_prior, ob_prior, train)
-        x, new_state = ConvLSTM(self.planes, 3, use_bias=False, name="rnn")(x, state)
+        ho, wo = x.shape[1], x.shape[2]
+        x = x.reshape(v, s, ho, wo, self.planes)
+        rnn = nn.vmap(
+            ConvLSTM,
+            in_axes=(0, 0),
+            out_axes=0,
+            variable_axes={"params": None},
+            split_rngs={"params": False},
+        )(self.planes, 3, use_bias=False, name="rnn")
+        x, new_state = rnn(x, state)
+        x = x.reshape(v * s, ho, wo, self.planes)
         out = DWBlock(1, 3, name="conv_out_st", **_FAN_OUT)(x, train)
-        return jax.nn.sigmoid(out), new_state
+        return jax.nn.sigmoid(out).reshape(v, s, ho, wo, 1), new_state
 
 
 MODEL_ZOO = {

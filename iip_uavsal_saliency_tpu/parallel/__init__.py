@@ -1,0 +1,2 @@
+from .mesh import make_mesh, data_sharding, replicated
+from .steps import TrainState, create_train_state, make_train_step, make_eval_step, make_infer_step

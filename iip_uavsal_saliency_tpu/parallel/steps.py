@@ -1,0 +1,159 @@
+"""Jitted, mesh-shardable train / eval / inference steps.
+
+The reference's training inner loop (Demo_Train_Test.py:121-151) is a Python
+loop doing forward -> loss -> backward -> Adam -> state detach per clip; here
+each of those is ONE compiled XLA program. TBPTT (the reference's
+`x_state = [out_state[0].detach()]`, :144) falls out naturally: the carried
+recurrent state crosses step boundaries as data, so no gradient flows through
+it into the previous clip.
+
+Sharding: pass a Mesh and the steps are jitted with NamedShardings —
+video-batch V on 'data', optional image rows on 'spatial'; params/priors
+replicated. Gradient all-reduce over 'data' is emitted by XLA from the mean
+loss (no hand-written collectives).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..training.losses import loss_fu
+from .mesh import data_sharding, replicated
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def create_train_state(variables, tx: optax.GradientTransformation) -> TrainState:
+    params = variables["params"]
+    return TrainState(
+        params=params,
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(params),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def make_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    loss_fn: Callable = loss_fu,
+    mesh=None,
+    donate: bool = True,
+):
+    """Build the jitted TBPTT train step.
+
+    step(state, x, gauss, ob, rnn_state, y_true) ->
+        (new_state, loss, new_rnn_state)
+      x: (V, S, H, W, 3); y_true: (V, S, Ho, Wo, 2); rnn_state: (V, Ho, Wo, C).
+    """
+
+    def step(state: TrainState, x, gauss, ob, rnn_state, y_true):
+        def compute_loss(params):
+            (out, new_rnn), mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                x,
+                gauss,
+                ob,
+                rnn_state,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            v, s = out.shape[0], out.shape[1]
+            loss = loss_fn(
+                out.reshape(v * s, *out.shape[2:]), y_true.reshape(v * s, *y_true.shape[2:])
+            )
+            return loss, (mutated["batch_stats"], new_rnn)
+
+        (loss, (new_bs, new_rnn)), grads = jax.value_and_grad(compute_loss, has_aux=True)(
+            state.params
+        )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            params=new_params, batch_stats=new_bs, opt_state=new_opt, step=state.step + 1
+        )
+        return new_state, loss, new_rnn
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+    xs = data_sharding(mesh, 5, spatial_axis=2)
+    ys = data_sharding(mesh, 5, spatial_axis=2)
+    ss = data_sharding(mesh, 4, spatial_axis=1)
+    rep = replicated(mesh)
+    return jax.jit(
+        step,
+        in_shardings=(rep, xs, rep, rep, ss, ys),
+        out_shardings=(rep, rep, ss),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def make_eval_step(model, loss_fn: Callable = loss_fu, mesh=None):
+    """Validation step: eval-mode BN (running stats), loss only, state carried
+    (reference val phase: model.eval() + no backward, Demo_Train_Test.py:95-149)."""
+
+    def step(params, batch_stats, x, gauss, ob, rnn_state, y_true):
+        out, new_rnn = model.apply(
+            {"params": params, "batch_stats": batch_stats}, x, gauss, ob, rnn_state
+        )
+        v, s = out.shape[0], out.shape[1]
+        loss = loss_fn(
+            out.reshape(v * s, *out.shape[2:]), y_true.reshape(v * s, *y_true.shape[2:])
+        )
+        return loss, new_rnn
+
+    if mesh is None:
+        return jax.jit(step)
+    xs = data_sharding(mesh, 5, spatial_axis=2)
+    ys = data_sharding(mesh, 5, spatial_axis=2)
+    ss = data_sharding(mesh, 4, spatial_axis=1)
+    rep = replicated(mesh)
+    return jax.jit(
+        step,
+        in_shardings=(rep, rep, xs, rep, rep, ss, ys),
+        out_shardings=(rep, ss),
+    )
+
+
+def make_infer_step(model, mesh=None, out_dtype=None):
+    """Inference step: eval-mode forward, returns (saliency, new_state).
+    Accepts uint8 frames and normalizes on-device (cheaper host->HBM)."""
+    from ..data.letterbox import IMAGENET_MEAN, IMAGENET_STD
+
+    mean = jnp.asarray(IMAGENET_MEAN)
+    std = jnp.asarray(IMAGENET_STD)
+
+    def step(params, batch_stats, x, gauss, ob, rnn_state):
+        if x.dtype == jnp.uint8:
+            x = x.astype(jnp.float32) / 255.0
+            x = (x - mean) / std
+        out, new_rnn = model.apply(
+            {"params": params, "batch_stats": batch_stats}, x, gauss, ob, rnn_state
+        )
+        if out_dtype is not None:
+            out = out.astype(out_dtype)
+        return out, new_rnn
+
+    if mesh is None:
+        return jax.jit(step)
+    xs = data_sharding(mesh, 5, spatial_axis=2)
+    ss = data_sharding(mesh, 4, spatial_axis=1)
+    rep = replicated(mesh)
+    return jax.jit(
+        step,
+        in_shardings=(rep, rep, xs, rep, rep, ss),
+        out_shardings=(data_sharding(mesh, 5, spatial_axis=2), ss),
+    )

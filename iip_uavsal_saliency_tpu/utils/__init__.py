@@ -1,0 +1,3 @@
+from .logging import get_logger, MetricLogger
+from .config import Config, load_config
+from .profiling import StageTimer, trace_profile

@@ -1,0 +1,108 @@
+"""Dataclass + CLI config layer.
+
+The reference's config is module-level globals in config.py, shadowed by
+inline blocks in each demo (reference: config.py:11-59,
+Demo_Train_Test.py:243-280 — SURVEY.md §5 calls out the duplication). Here a
+single dataclass holds paths + run settings, loadable from JSON and
+overridable from CLI `--key value` flags.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import List, Optional, Sequence, Tuple
+
+
+@dataclasses.dataclass
+class Config:
+    # datasets
+    data_dir: str = os.environ.get("UAVSAL_DATA_DIR", "/data/DataSet")
+    train_dataset: str = "UAV2"
+    test_dataset: str = "UAV2-TE"
+
+    # run layout (reference: Demo_Train_Test.py:267-275)
+    save_model_dir: str = "./weights/temp_weights/"
+    pre_model_path: str = ""
+    priors_cache_dir: str = ""
+
+    # model / training hyperparameters
+    method_name: str = "UAVSal"
+    cnn_type: str = "mobilenet_v2"
+    iosize: Tuple[int, int, int, int] = (360, 640, 45, 80)
+    time_dims: int = 5
+    num_stblock: int = 2
+    bias_type: Tuple[int, int, int] = (1, 1, 1)
+    batch_size: int = 2
+    test_batch_size: int = 4
+    eval_batch_size: int = 32
+    epochs: int = 20
+    learning_rate: float = 1e-4
+    weight_decay: float = 5e-5
+    is_early_stop: bool = True
+    max_patience: int = 4
+    is_best_only: bool = False
+    shuffle_train: bool = True
+    num_workers: int = 4
+
+    @property
+    def ext(self) -> str:
+        return ".avi" if self.train_dataset.upper() in ("UAV2",) else ".mp4"
+
+    @property
+    def train_data_dir(self) -> str:
+        return os.path.join(self.data_dir, self.train_dataset)
+
+    @property
+    def test_data_dir(self) -> str:
+        return os.path.join(self.data_dir, self.test_dataset)
+
+    @property
+    def test_input_path(self) -> str:
+        return os.path.join(self.test_data_dir, "Videos")
+
+    @property
+    def test_result_path(self) -> str:
+        return os.path.join(self.test_data_dir, "Results", f"Results_{self.method_name}")
+
+    @property
+    def test_output_path(self) -> str:
+        return os.path.join(self.test_result_path, "Saliency")
+
+
+def load_config(path: Optional[str] = None, argv: Optional[Sequence[str]] = None) -> Config:
+    """Config from optional JSON file + `--key value` CLI overrides."""
+    cfg = Config()
+    if path and os.path.exists(path):
+        with open(path) as f:
+            data = json.load(f)
+        cfg = dataclasses.replace(cfg, **data)
+    if argv:
+        fields = {f.name: f for f in dataclasses.fields(Config)}
+        i = 0
+        updates = {}
+        while i < len(argv):
+            arg = argv[i]
+            if arg.startswith("--"):
+                key = arg[2:].replace("-", "_")
+                if key not in fields:
+                    raise SystemExit(f"unknown flag --{key}")
+                raw = argv[i + 1]
+                ftype = fields[key].type
+                if "Tuple" in str(ftype) or "tuple" in str(ftype):
+                    val = tuple(int(x) for x in raw.strip("()[]").split(","))
+                elif ftype in ("int", int):
+                    val = int(raw)
+                elif ftype in ("float", float):
+                    val = float(raw)
+                elif ftype in ("bool", bool):
+                    val = raw.lower() in ("1", "true", "yes")
+                else:
+                    val = raw
+                updates[key] = val
+                i += 2
+            else:
+                i += 1
+        cfg = dataclasses.replace(cfg, **updates)
+    return cfg

@@ -17,13 +17,13 @@ HO, WO = H // 8, W // 8
 T = 5
 
 
-def _make_model_and_vars(seq=T, **kw):
+def _make_model_and_vars(seq=T, n_videos=1, **kw):
     model = UAVSal(time_dims=T, **kw)
     rng = np.random.RandomState(0)
-    x = jnp.asarray(rng.rand(seq, H, W, 3).astype(np.float32))
+    x = jnp.asarray(rng.rand(n_videos, seq, H, W, 3).astype(np.float32))
     g = jnp.asarray(rng.rand(HO, WO, 8).astype(np.float32))
     o = jnp.asarray(rng.rand(HO, WO, 20).astype(np.float32))
-    s = model.init_state(H, W)
+    s = model.init_state(H, W, n_videos)
     vars_ = model.init(jax.random.PRNGKey(0), x, g, o, s)
     return model, vars_, (x, g, o, s)
 
@@ -47,7 +47,7 @@ def test_temporal_differences_matches_reference_loop():
 def test_temporal_differences_per_clip():
     rng = np.random.RandomState(1)
     x = jnp.asarray(rng.randn(10, 2, 2, 1).astype(np.float32))
-    per_clip = np.asarray(temporal_differences(x, time_dims=5))
+    per_clip = np.asarray(temporal_differences(x, group=5))
     ref0 = np.asarray(temporal_differences(x[:5]))
     ref1 = np.asarray(temporal_differences(x[5:]))
     np.testing.assert_allclose(per_clip, np.concatenate([ref0, ref1], 0), rtol=1e-6)
@@ -108,12 +108,23 @@ def test_conv_lstm_and_gru_shapes():
 def test_uavsal_forward_shapes_and_state():
     model, vars_, (x, g, o, s) = _make_model_and_vars()
     y, s2 = model.apply(vars_, x, g, o, s)
-    assert y.shape == (T, HO, WO, 1)
+    assert y.shape == (1, T, HO, WO, 1)
     assert s2.shape == s.shape
     assert float(y.min()) >= 0.0 and float(y.max()) <= 1.0
     # stateful: second clip differs from replay of first
     y2, _ = model.apply(vars_, x, g, o, s2)
     assert not np.allclose(np.asarray(y), np.asarray(y2))
+
+
+def test_uavsal_multivideo_matches_per_video():
+    """V>1 (eval mode) must equal running each video independently."""
+    model, vars_, (x, g, o, s) = _make_model_and_vars(n_videos=3)
+    y, s2 = model.apply(vars_, x, g, o, s)
+    assert y.shape == (3, T, HO, WO, 1)
+    for vid in range(3):
+        yi, si = model.apply(vars_, x[vid : vid + 1], g, o, s[vid : vid + 1])
+        np.testing.assert_allclose(np.asarray(y[vid]), np.asarray(yi[0]), rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(s2[vid]), np.asarray(si[0]), rtol=2e-4, atol=2e-5)
 
 
 def test_uavsal_param_budget():
@@ -130,7 +141,7 @@ def test_uavsal_bias_type_variants():
     for bias_type in [(0, 0, 0), (1, 0, 0), (0, 1, 1)]:
         model, vars_, (x, g, o, s) = _make_model_and_vars(bias_type=bias_type)
         y, _ = model.apply(vars_, x, g, o, s)
-        assert y.shape == (T, HO, WO, 1)
+        assert y.shape == (1, T, HO, WO, 1)
 
 
 @pytest.mark.parametrize(
@@ -156,8 +167,10 @@ def test_ablation_zoo_forward(name, needs_priors, needs_state, extra):
     if needs_priors:
         args += [jnp.zeros((HO, WO, 8)), jnp.zeros((HO, WO, 20))]
     if needs_state:
-        args += [model.init_state(H, W)]
+        args[0] = x[None]  # stateful models take (V, S, H, W, 3)
+        args += [model.init_state(H, W, 1)]
     vars_ = model.init(jax.random.PRNGKey(0), *args)
     out = model.apply(vars_, *args)
     y = out[0] if isinstance(out, tuple) else out
-    assert y.shape == (T, HO, WO, 1)
+    expected = (1, T, HO, WO, 1) if needs_state else (T, HO, WO, 1)
+    assert y.shape == expected

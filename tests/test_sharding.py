@@ -1,0 +1,137 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from iip_uavsal_saliency_tpu.models import UAVSal
+from iip_uavsal_saliency_tpu.parallel import (
+    TrainState,
+    create_train_state,
+    data_sharding,
+    make_eval_step,
+    make_infer_step,
+    make_mesh,
+    make_train_step,
+    replicated,
+)
+from iip_uavsal_saliency_tpu.training import make_optimizer, make_frozen_mask
+
+H, W, T = 64, 64, 5
+HO, WO = H // 8, W // 8
+
+
+def _setup(v):
+    model = UAVSal(time_dims=T)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(v, T, H, W, 3).astype(np.float32))
+    g = jnp.asarray(rng.rand(HO, WO, 8).astype(np.float32))
+    o = jnp.asarray(rng.rand(HO, WO, 20).astype(np.float32))
+    s = model.init_state(H, W, v)
+    y = jnp.asarray((rng.rand(v, T, HO, WO, 2) > 0.7).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, g, o, s)
+    return model, variables, (x, g, o, s, y)
+
+
+def test_mesh_shapes():
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
+    mesh = make_mesh(n_data=4, n_spatial=2)
+    assert dict(mesh.shape) == {"data": 4, "spatial": 2}
+
+
+def test_train_step_dp_matches_single_device():
+    """Gradient all-reduce over 'data' must give the same result as the
+    unsharded step."""
+    model, variables, (x, g, o, s, y) = _setup(v=4)
+    tx = make_optimizer(1e-3, 0.0)
+
+    # single-device baseline
+    st0 = create_train_state(variables, tx)
+    step0 = make_train_step(model, tx, donate=False)
+    st0b, loss0, rnn0 = step0(st0, x, g, o, s, y)
+
+    # 4-way dp mesh
+    mesh = make_mesh(n_data=4, n_spatial=1)
+    st1 = jax.device_put(create_train_state(variables, tx), replicated(mesh))
+    step1 = make_train_step(model, tx, mesh=mesh, donate=False)
+    st1b, loss1, rnn1 = step1(
+        st1,
+        jax.device_put(x, data_sharding(mesh, 5)),
+        jax.device_put(g, replicated(mesh)),
+        jax.device_put(o, replicated(mesh)),
+        jax.device_put(s, data_sharding(mesh, 4)),
+        jax.device_put(y, data_sharding(mesh, 5)),
+    )
+    # sharded reductions reorder float adds; through ~50 BN layers and a
+    # 5-step scan the drift stays small but nonzero
+    np.testing.assert_allclose(float(loss0), float(loss1), rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(rnn0), np.asarray(rnn1), atol=0.03)
+    # parameters after update: Adam's first step is ~ -lr*sign(grad), so a
+    # near-zero gradient can flip sign under reduction reordering — require
+    # 98% of elements to agree instead of exact closeness
+    p0 = np.asarray(jax.tree_util.tree_leaves(st0b.params)[0])
+    p1 = np.asarray(jax.tree_util.tree_leaves(st1b.params)[0])
+    agree = np.mean(np.abs(p0 - p1) < 5e-4)
+    assert agree > 0.98, f"only {agree:.3f} of params agree"
+
+
+def test_train_step_dp_sp_runs():
+    """dp x sp mesh (2x4): rows sharded, conv halos inserted by XLA."""
+    model, variables, (x, g, o, s, y) = _setup(v=2)
+    tx = make_optimizer(1e-3, 5e-5)
+    mesh = make_mesh(n_data=2, n_spatial=4)
+    st = jax.device_put(create_train_state(variables, tx), replicated(mesh))
+    step = make_train_step(model, tx, mesh=mesh, donate=False)
+    _, loss, _ = step(
+        st,
+        jax.device_put(x, data_sharding(mesh, 5, spatial_axis=2)),
+        jax.device_put(g, replicated(mesh)),
+        jax.device_put(o, replicated(mesh)),
+        jax.device_put(s, data_sharding(mesh, 4, spatial_axis=1)),
+        jax.device_put(y, data_sharding(mesh, 5, spatial_axis=2)),
+    )
+    assert np.isfinite(float(loss))
+
+
+def test_eval_and_infer_steps():
+    model, variables, (x, g, o, s, y) = _setup(v=2)
+    mesh = make_mesh(n_data=2, n_spatial=1)
+    ev = make_eval_step(model, mesh=mesh)
+    loss, rnn = ev(variables["params"], variables["batch_stats"], x, g, o, s, y)
+    assert np.isfinite(float(loss))
+
+    inf = make_infer_step(model, mesh=mesh)
+    x_u8 = (np.asarray(x) * 255).astype(np.uint8)
+    out, rnn2 = inf(variables["params"], variables["batch_stats"], jnp.asarray(x_u8), g, o, s)
+    assert out.shape == (2, T, HO, WO, 1)
+
+
+def test_frozen_mask_freezes_sfnet_and_st_layer():
+    """Fine-tuning freeze parity (reference: Demo_Train_Test.py:59-62)."""
+    model, variables, (x, g, o, s, y) = _setup(v=1)
+    mask = make_frozen_mask(variables["params"], ("trunk/sfnet", "trunk/st_layer"))
+    tx = make_optimizer(1e-2, 0.0, trainable_mask=mask)
+    st = create_train_state(variables, tx)
+    step = make_train_step(model, tx, donate=False)
+    st2, loss, _ = step(st, x, g, o, s, y)
+    frozen_before = variables["params"]["trunk"]["sfnet"]["conv_last"]["conv"]["kernel"]
+    frozen_after = st2.params["trunk"]["sfnet"]["conv_last"]["conv"]["kernel"]
+    np.testing.assert_array_equal(np.asarray(frozen_before), np.asarray(frozen_after))
+    live_before = variables["params"]["conv_out_st"]["dw"]["conv"]["kernel"]
+    live_after = st2.params["conv_out_st"]["dw"]["conv"]["kernel"]
+    assert not np.allclose(np.asarray(live_before), np.asarray(live_after))
+
+
+def test_graft_entry_dryrun():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    # compile-only check on tiny virtual CPU devices would be too slow at
+    # 360x640; just verify abstract evaluation (shapes) here.
+    out_shape = jax.eval_shape(fn, *args)
+    assert out_shape[0].shape == (1, 5, 45, 80, 1)
+    ge.dryrun_multichip(8)
