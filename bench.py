@@ -40,7 +40,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from iip_uavsal_saliency_tpu.models import UAVSal
+    from iip_uavsal_saliency_tpu.models import UAVSal, init_variables
     from iip_uavsal_saliency_tpu.parallel.steps import make_infer_step
 
     dev = jax.devices()[0]
@@ -59,7 +59,7 @@ def main():
     state = model.init_state(h, w, v)
 
     x_f = x_u8.astype(jnp.float32) / 255.0
-    variables = model.init(jax.random.PRNGKey(0), x_f, gauss, ob, state)
+    variables = init_variables(model, jax.random.PRNGKey(0), x_f, gauss, ob, state)
     if args.dtype == "bf16":
         variables = jax.tree_util.tree_map(
             lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, variables

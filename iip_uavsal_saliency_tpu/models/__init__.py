@@ -19,5 +19,6 @@ from .uavsal import (
     UAVSalMP,
     UAVSalLSTM,
     build_model,
+    init_variables,
     MODEL_ZOO,
 )

@@ -56,18 +56,30 @@ class ConvTWA(nn.Module):
 
     (reference: model_convlstm.py:276-292). `use_bias=False` matches the
     UAVSal instantiation (reference: model.py:328-329).
+
+    Accepts (S, H, W, C) with state (H, W, C), or batched (V, S, H, W, C)
+    with state (V, H, W, C) — sequential in S, parallel across V.
+
+    `use_pallas`: None = auto (fused VMEM-resident Pallas kernel on TPU for
+    bf16 inputs when the shape qualifies, see ops/pallas_twa.py); True/False
+    forces. The Pallas forward pairs with an XLA-recompute backward, so the
+    cell stays differentiable either way.
     """
 
     hidden_dim: int = 256
     kernel_size: int = 3
     use_bias: bool = False
+    use_pallas: bool | None = None
 
     def init_state(self, height: int, width: int, dtype=jnp.float32) -> jnp.ndarray:
         return jnp.zeros((height, width, self.hidden_dim), dtype)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, state: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        s, h, w, cin = x.shape
+        batched = x.ndim == 5
+        if not batched:
+            x, state = x[None], state[None]
+        v, s, h, w, cin = x.shape
         k = self.kernel_size
         kernel = self.param(
             "kernel",
@@ -81,20 +93,28 @@ class ConvTWA(nn.Module):
         )
         w_x, w_h = kernel[:, :, :cin], kernel[:, :, cin:]
 
-        # Hoisted input projection: one big conv over all S frames.
-        gx = _conv_hwio(x, w_x)
+        # Hoisted input projection: one big conv over all V*S frames.
+        gx = _conv_hwio(x.reshape(v * s, h, w, cin), w_x).reshape(
+            v, s, h, w, self.hidden_dim
+        )
         if bias is not None:
             gx = gx + bias
 
-        def step(h_prev, inp):
-            x_t, gx_t = inp
-            gate = jax.nn.sigmoid(
-                gx_t + _conv_hwio(h_prev[None], w_h)[0]
-            )
-            h_new = gate * x_t + (1.0 - gate) * h_prev
-            return h_new, h_new
+        from ..ops.pallas_twa import supports_pallas, twa_scan, twa_scan_xla
 
-        h_last, ys = lax.scan(step, state, (x, gx))
+        use_pallas = self.use_pallas
+        if use_pallas is None:
+            use_pallas = (
+                jax.default_backend() == "tpu"
+                and self.kernel_size == 3
+                and supports_pallas(x.shape, x.dtype)
+            )
+        if use_pallas:
+            ys, h_last = twa_scan(x, gx, w_h.astype(x.dtype), state)
+        else:
+            ys, h_last = twa_scan_xla(x, gx, w_h, state)
+        if not batched:
+            ys, h_last = ys[0], h_last[0]
         return ys, h_last
 
 

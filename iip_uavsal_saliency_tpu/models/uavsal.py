@@ -178,6 +178,7 @@ class UAVSal(nn.Module):
     bias_type: Sequence[int] = (1, 1, 1)
     planes: int = 256
     compat_cxt_tile: bool = True
+    twa_pallas: Optional[bool] = None  # None = auto (TPU + bf16 only)
 
     def init_state(self, height: int, width: int, n_videos: int = 1, dtype=jnp.float32):
         """Zero TWA state for inputs of (height, width) pixels."""
@@ -208,13 +209,10 @@ class UAVSal(nn.Module):
 
         ho, wo = x.shape[1], x.shape[2]
         x = x.reshape(v, s, ho, wo, self.planes)
-        rnn = nn.vmap(
-            ConvTWA,
-            in_axes=(0, 0),
-            out_axes=0,
-            variable_axes={"params": None},
-            split_rngs={"params": False},
-        )(self.planes, 3, use_bias=False, name="rnn")
+        # batched ConvTWA: sequential in S, parallel over V; on TPU (bf16)
+        # it runs the fused VMEM-resident Pallas scan (ops/pallas_twa.py)
+        rnn = ConvTWA(self.planes, 3, use_bias=False,
+                      use_pallas=self.twa_pallas, name="rnn")
         x, new_state = rnn(x, state)
         x = x.reshape(v * s, ho, wo, self.planes)
 
@@ -432,3 +430,14 @@ MODEL_ZOO = {
 
 def build_model(name: str = "uavsal", **kwargs) -> nn.Module:
     return MODEL_ZOO[name.lower()](**kwargs)
+
+
+def init_variables(model: nn.Module, rng, *args, **kwargs):
+    """Initialize model variables under jit.
+
+    Eager (unjitted) flax init dispatches every initializer and layer op
+    separately, which is ~10x slower than one fused XLA program — always
+    init through this helper. Compiled programs land in the persistent
+    compilation cache, so repeat inits are near-free.
+    """
+    return jax.jit(model.init)(rng, *args, **kwargs)

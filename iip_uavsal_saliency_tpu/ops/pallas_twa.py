@@ -1,0 +1,207 @@
+"""Fused Pallas TPU kernel for the ConvTWA recurrence.
+
+The TWA cell (reference: model_convlstm.py:276-292) is
+
+    i_t = sigmoid(conv([x_t, h_{t-1}], W))
+    h_t = i_t * x_t + (1 - i_t) * h_{t-1}
+
+With the input half of the gate conv hoisted out of the recurrence
+(gx_t = conv(x_t, W_x), computed for all frames in one batched conv — see
+models/recurrent.py), the sequential part per step is
+
+    h_t = lerp(h_{t-1}, x_t, sigmoid(gx_t + conv(h_{t-1}, W_h)))
+
+At the flagship config (45x80 spatial, 256 channels) the 3x3 256->256
+hidden conv is ~4.2 GFLOP/frame — the hottest op in the whole model. The
+XLA `lax.scan` version round-trips h (and the conv temporaries) through HBM
+every step. This kernel keeps h resident in VMEM for the entire scan:
+
+- grid (V, S, H/RB): videos outer, frames middle, row-chunks inner (TPU
+  grids run sequentially, so VMEM scratch carries state across steps).
+- h lives in a (2, H+2, W+2, C) zero-padded ping-pong scratch: reads at
+  step s come from slot s%2, writes go to slot (s+1)%2, so every row chunk
+  of step s sees the unmodified h_{s-1} (including halo rows) with no
+  boundary masking — the padding rows ARE the conv zero-padding.
+- the 3x3 conv is computed as 9 shifted (RB*W, C) x (C, C) MXU matmuls
+  accumulated in f32.
+- x_t / gx_t stream in as (RB, W, C) blocks; h_t streams out through the
+  ys output (the final frame's ys row IS the carried state, so no separate
+  h_last output is needed).
+
+The kernel is used for inference/serving; for training, `twa_scan` wraps it
+in a custom_vjp whose backward recomputes through the XLA scan (exact same
+math at f32; the kernel itself accumulates in f32 and stores bf16).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _conv_hwio(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    kh, kw = kernel.shape[0], kernel.shape[1]
+    pad = [(kh // 2, kh // 2), (kw // 2, kw // 2)]
+    return lax.conv_general_dilated(
+        x, kernel, window_strides=(1, 1), padding=pad,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+def twa_scan_xla(x: jnp.ndarray, gx: jnp.ndarray, w_h: jnp.ndarray,
+                 h0: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Reference XLA implementation. x, gx: (V,S,H,W,C); h0: (V,H,W,C)."""
+
+    def one_video(xv, gxv, h0v):
+        def step(h_prev, inp):
+            x_t, gx_t = inp
+            gate = jax.nn.sigmoid(gx_t + _conv_hwio(h_prev[None], w_h)[0])
+            h_new = gate * x_t + (1.0 - gate) * h_prev
+            return h_new, h_new
+
+        h_last, ys = lax.scan(step, h0v, (xv, gxv))
+        return ys, h_last
+
+    return jax.vmap(one_video)(x, gx, h0)
+
+
+# Run pallas_call in interpreter mode (CPU tests). Checked at trace time by
+# twa_scan_pallas when its `interpret` argument is None.
+INTERPRET = False
+
+
+def _row_block(h: int, max_rb: int = 16) -> Optional[int]:
+    """Largest divisor of h that is <= max_rb (None if only 1 divides)."""
+    for rb in range(min(h, max_rb), 1, -1):
+        if h % rb == 0:
+            return rb
+    return None
+
+
+def _twa_kernel(x_ref, gx_ref, w_ref, h0_ref, ys_ref, h_pp, sem, *, rb, H, W, C):
+    s = pl.program_id(1)
+    k = pl.program_id(2)
+    cur = s % 2
+    nxt = (s + 1) % 2
+    v = pl.program_id(0)
+
+    @pl.when(jnp.logical_and(s == 0, k == 0))
+    def _init():
+        # Zero both slots (borders double as conv zero-padding), then DMA
+        # this video's h0 into slot 0's interior.
+        h_pp[:] = jnp.zeros_like(h_pp)
+        dma = pltpu.make_async_copy(
+            h0_ref.at[v], h_pp.at[0, pl.ds(1, H), pl.ds(1, W), :], sem
+        )
+        dma.start()
+        dma.wait()
+
+    r0 = k * rb
+    # h_{s-1} window for this chunk: rows r0..r0+rb+2 of the padded buffer
+    # cover output rows r0..r0+rb with their +/-1 halo; same in W.
+    win = h_pp[cur, pl.ds(r0, rb + 2), :, :]  # (rb+2, W+2, C)
+
+    acc = jnp.zeros((rb * W, C), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            tap = win[dy : dy + rb, dx : dx + W, :].reshape(rb * W, C)
+            acc = acc + jnp.dot(tap, w_ref[dy, dx], preferred_element_type=jnp.float32)
+
+    gx_t = gx_ref[0, 0].astype(jnp.float32).reshape(rb * W, C)
+    x_t = x_ref[0, 0].astype(jnp.float32).reshape(rb * W, C)
+    h_prev = win[1 : 1 + rb, 1 : 1 + W, :].astype(jnp.float32).reshape(rb * W, C)
+    gate = jax.nn.sigmoid(acc + gx_t)
+    h_new = (gate * x_t + (1.0 - gate) * h_prev).reshape(rb, W, C).astype(ys_ref.dtype)
+
+    ys_ref[0, 0] = h_new
+    h_pp[nxt, pl.ds(1 + r0, rb), pl.ds(1, W), :] = h_new
+
+
+def twa_scan_pallas(x: jnp.ndarray, gx: jnp.ndarray, w_h: jnp.ndarray,
+                    h0: jnp.ndarray, *, interpret: Optional[bool] = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused TWA scan. x, gx: (V,S,H,W,C); w_h: (3,3,C,C); h0: (V,H,W,C).
+
+    Returns (ys, h_last) with ys[v, s] = h_s. Requires a row-chunk divisor
+    of H (see `supports_pallas`).
+    """
+    v, s, h, w, c = x.shape
+    rb = _row_block(h)
+    if rb is None:
+        raise ValueError(f"H={h} has no row-block divisor; use twa_scan_xla")
+    n_chunks = h // rb
+    if interpret is None:
+        interpret = INTERPRET
+
+    kernel = functools.partial(_twa_kernel, rb=rb, H=h, W=w, C=c)
+    ys = pl.pallas_call(
+        kernel,
+        grid=(v, s, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, 1, rb, w, c), lambda i, j, k: (i, j, k, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, rb, w, c), lambda i, j, k: (i, j, k, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 3, c, c), lambda i, j, k: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # h0 stays in HBM, DMA'd once
+        ],
+        out_specs=pl.BlockSpec((1, 1, rb, w, c), lambda i, j, k: (i, j, k, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((v, s, h, w, c), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, h + 2, w + 2, c), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * v * s * 9 * h * w * c * c,
+            bytes_accessed=(3 * v * s * h * w * c + 9 * c * c) * x.dtype.itemsize,
+            transcendentals=v * s * h * w * c,
+        ),
+        interpret=interpret,
+    )(x, gx, w_h, h0)
+    return ys, ys[:, -1]
+
+
+def supports_pallas(x_shape, dtype) -> bool:
+    """Kernel applicability: TPU-friendly dtype, divisible rows, VMEM fit."""
+    v, s, h, w, c = x_shape
+    if jnp.dtype(dtype) != jnp.dtype(jnp.bfloat16):
+        return False
+    if _row_block(h) is None:
+        return False
+    # ping-pong state + streamed blocks must fit ~16MB VMEM
+    state_bytes = 2 * (h + 2) * (w + 2) * c * 2
+    kern_bytes = 9 * c * c * 2
+    rb = _row_block(h)
+    block_bytes = 6 * rb * w * c * 2  # x/gx/ys double-buffered
+    return state_bytes + kern_bytes + block_bytes < 12 * 1024 * 1024
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def twa_scan(x, gx, w_h, h0):
+    """Differentiable fused TWA scan: Pallas forward, XLA-recompute backward."""
+    ys, h_last = twa_scan_pallas(x, gx, w_h, h0)
+    return ys, h_last
+
+
+def _twa_fwd(x, gx, w_h, h0):
+    out = twa_scan_pallas(x, gx, w_h, h0)
+    return out, (x, gx, w_h, h0)
+
+
+def _twa_bwd(res, g):
+    x, gx, w_h, h0 = res
+    _, vjp = jax.vjp(twa_scan_xla, x, gx, w_h, h0)
+    return vjp(g)
+
+
+twa_scan.defvjp(_twa_fwd, _twa_bwd)

@@ -148,8 +148,10 @@ class Trainer:
         dummy_x = jnp.zeros((1, s_frames, shape_r, shape_c, 3), jnp.float32)
         dummy_state = self.model.init_state(shape_r, shape_c, 1)
         if pre_variables is None:
-            variables = self.model.init(
-                jax.random.PRNGKey(0), dummy_x, self.gauss, self.ob, dummy_state
+            from ..models import init_variables
+
+            variables = init_variables(
+                self.model, jax.random.PRNGKey(0), dummy_x, self.gauss, self.ob, dummy_state
             )
         else:
             variables = pre_variables

@@ -4,14 +4,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from iip_uavsal_saliency_tpu.models import UAVSal
 from iip_uavsal_saliency_tpu.models.convert import (
     convert_mobilenet_v2_backbone,
     convert_uavsal_state_dict,
     export_uavsal_state_dict,
 )
-
-H, W, T = 64, 128, 5
 
 
 def _tree_paths(tree, prefix=""):
@@ -25,14 +22,8 @@ def _tree_paths(tree, prefix=""):
     return out
 
 
-def test_uavsal_convert_roundtrip():
-    model = UAVSal(time_dims=T)
-    x = jnp.zeros((1, T, H, W, 3))
-    g = jnp.zeros((H // 8, W // 8, 8))
-    o = jnp.zeros((H // 8, W // 8, 20))
-    s = model.init_state(H, W, 1)
-    variables = model.init(jax.random.PRNGKey(0), x, g, o, s)
-
+def test_uavsal_convert_roundtrip(uavsal_small):
+    _, variables, _ = uavsal_small
     sd = export_uavsal_state_dict(variables)
     # every tensor present with torch layout
     assert "sfnet.features.features.0.0.weight" in sd
@@ -49,13 +40,8 @@ def test_uavsal_convert_roundtrip():
         np.testing.assert_array_equal(got[k], want[k], err_msg=k)
 
 
-def test_converted_variables_run_forward():
-    model = UAVSal(time_dims=T)
-    x = jnp.zeros((1, T, H, W, 3))
-    g = jnp.zeros((H // 8, W // 8, 8))
-    o = jnp.zeros((H // 8, W // 8, 20))
-    s = model.init_state(H, W, 1)
-    variables = model.init(jax.random.PRNGKey(0), x, g, o, s)
+def test_converted_variables_run_forward(uavsal_small):
+    model, variables, (x, g, o, s) = uavsal_small
     sd = export_uavsal_state_dict(variables)
     back = convert_uavsal_state_dict(sd)
     back = jax.tree_util.tree_map(jnp.asarray, back)
@@ -64,15 +50,10 @@ def test_converted_variables_run_forward():
     np.testing.assert_allclose(np.asarray(y), np.asarray(y0), rtol=1e-6)
 
 
-def test_backbone_converter_shapes():
+def test_backbone_converter_shapes(uavsal_small):
     """A synthetic torchvision-style mobilenet_v2 state_dict converts into the
     expected stage tree (features.0 stem + 17 inverted residuals)."""
-    model = UAVSal(time_dims=T)
-    x = jnp.zeros((1, T, H, W, 3))
-    g = jnp.zeros((H // 8, W // 8, 8))
-    o = jnp.zeros((H // 8, W // 8, 20))
-    s = model.init_state(H, W, 1)
-    variables = model.init(jax.random.PRNGKey(0), x, g, o, s)
+    _, variables, _ = uavsal_small
     sd = export_uavsal_state_dict(variables)
     tv_sd = {k[len("sfnet.features.") :]: v for k, v in sd.items() if k.startswith("sfnet.features.")}
     params, stats = convert_mobilenet_v2_backbone(tv_sd)

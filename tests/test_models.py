@@ -5,7 +5,7 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from iip_uavsal_saliency_tpu.models import UAVSal, build_model
+from iip_uavsal_saliency_tpu.models import UAVSal, build_model, init_variables
 from iip_uavsal_saliency_tpu.models.recurrent import ConvLSTM, ConvSimGRU, ConvTWA
 from iip_uavsal_saliency_tpu.models.stblock import temporal_differences
 from iip_uavsal_saliency_tpu.ops.stats import param_bytes, param_count
@@ -24,7 +24,7 @@ def _make_model_and_vars(seq=T, n_videos=1, **kw):
     g = jnp.asarray(rng.rand(HO, WO, 8).astype(np.float32))
     o = jnp.asarray(rng.rand(HO, WO, 20).astype(np.float32))
     s = model.init_state(H, W, n_videos)
-    vars_ = model.init(jax.random.PRNGKey(0), x, g, o, s)
+    vars_ = init_variables(model, jax.random.PRNGKey(0), x, g, o, s)
     return model, vars_, (x, g, o, s)
 
 
@@ -105,8 +105,8 @@ def test_conv_lstm_and_gru_shapes():
         assert s2.shape == state_shape
 
 
-def test_uavsal_forward_shapes_and_state():
-    model, vars_, (x, g, o, s) = _make_model_and_vars()
+def test_uavsal_forward_shapes_and_state(uavsal_small):
+    model, vars_, (x, g, o, s) = uavsal_small
     y, s2 = model.apply(vars_, x, g, o, s)
     assert y.shape == (1, T, HO, WO, 1)
     assert s2.shape == s.shape
@@ -127,11 +127,11 @@ def test_uavsal_multivideo_matches_per_video():
         np.testing.assert_allclose(np.asarray(s2[vid]), np.asarray(si[0]), rtol=2e-4, atol=2e-5)
 
 
-def test_uavsal_param_budget():
+def test_uavsal_param_budget(uavsal_small):
     """Reference UAVSal = 51.59 MB of fp32 params+buffers
     (reference: Tools/Getmodelsize_demo.py:93). BN running stats live in
     batch_stats here; params+batch_stats should land within ~2%."""
-    model, vars_, _ = _make_model_and_vars()
+    model, vars_, _ = uavsal_small
     total = param_bytes(vars_["params"]) + param_bytes(vars_["batch_stats"])
     mb = total / 1024 / 1024
     assert 50.0 < mb < 53.0, f"param budget {mb:.2f} MB"
@@ -169,7 +169,7 @@ def test_ablation_zoo_forward(name, needs_priors, needs_state, extra):
     if needs_state:
         args[0] = x[None]  # stateful models take (V, S, H, W, 3)
         args += [model.init_state(H, W, 1)]
-    vars_ = model.init(jax.random.PRNGKey(0), *args)
+    vars_ = init_variables(model, jax.random.PRNGKey(0), *args)
     out = model.apply(vars_, *args)
     y = out[0] if isinstance(out, tuple) else out
     expected = (1, T, HO, WO, 1) if needs_state else (T, HO, WO, 1)

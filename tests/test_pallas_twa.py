@@ -1,0 +1,93 @@
+"""Fused Pallas TWA scan vs the XLA reference scan (interpret mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import iip_uavsal_saliency_tpu.ops.pallas_twa as ptwa
+from iip_uavsal_saliency_tpu.ops.pallas_twa import (
+    _row_block,
+    supports_pallas,
+    twa_scan,
+    twa_scan_pallas,
+    twa_scan_xla,
+)
+
+
+def _rand(shape, seed, dtype=np.float32):
+    return jnp.asarray(np.random.RandomState(seed).randn(*shape).astype(dtype) * 0.5)
+
+
+def _case(v=2, s=4, h=12, w=8, c=8, seed=0):
+    x = _rand((v, s, h, w, c), seed)
+    gx = _rand((v, s, h, w, c), seed + 1)
+    w_h = _rand((3, 3, c, c), seed + 2) * 0.2
+    h0 = _rand((v, h, w, c), seed + 3)
+    return x, gx, w_h, h0
+
+
+def test_row_block():
+    assert _row_block(45) == 15
+    assert _row_block(36) == 12
+    assert _row_block(6) == 6
+    assert _row_block(13) == 13  # small prime: single whole-height chunk
+    assert _row_block(17) is None  # prime > 16 has no divisor <= 16
+    assert _row_block(1) is None
+
+
+def test_pallas_matches_xla_single_chunk():
+    x, gx, w_h, h0 = _case(h=6)
+    ys_p, hl_p = twa_scan_pallas(x, gx, w_h, h0, interpret=True)
+    ys_x, hl_x = twa_scan_xla(x, gx, w_h, h0)
+    np.testing.assert_allclose(np.asarray(ys_p), np.asarray(ys_x), rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(hl_p), np.asarray(hl_x), rtol=2e-5, atol=2e-6)
+
+
+def test_pallas_matches_xla_multi_chunk():
+    """H=20 -> row block 10 -> 2 chunks per step; chunk writes must not leak
+    into the h_{s-1} reads of the next chunk (ping-pong slots)."""
+    x, gx, w_h, h0 = _case(h=20, seed=7)
+    ys_p, hl_p = twa_scan_pallas(x, gx, w_h, h0, interpret=True)
+    ys_x, hl_x = twa_scan_xla(x, gx, w_h, h0)
+    np.testing.assert_allclose(np.asarray(ys_p), np.asarray(ys_x), rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(hl_p), np.asarray(hl_x), rtol=2e-5, atol=2e-6)
+
+
+def test_pallas_videos_are_independent():
+    """Video v+1's first step must see ITS h0, not video v's final state."""
+    x, gx, w_h, h0 = _case(v=3, seed=11)
+    ys_p, _ = twa_scan_pallas(x, gx, w_h, h0, interpret=True)
+    for vid in range(3):
+        ys_i, _ = twa_scan_pallas(
+            x[vid : vid + 1], gx[vid : vid + 1], w_h, h0[vid : vid + 1], interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(ys_p[vid]), np.asarray(ys_i[0]), rtol=2e-5, atol=2e-6
+        )
+
+
+def test_custom_vjp_grad_matches_xla():
+    x, gx, w_h, h0 = _case(v=1, s=2, h=4, w=4, c=4)
+
+    def loss_pallas(x, gx, w_h, h0):
+        ys, hl = twa_scan(x, gx, w_h, h0)
+        return jnp.sum(ys**2) + jnp.sum(hl)
+
+    def loss_xla(x, gx, w_h, h0):
+        ys, hl = twa_scan_xla(x, gx, w_h, h0)
+        return jnp.sum(ys**2) + jnp.sum(hl)
+
+    ptwa.INTERPRET = True
+    try:
+        g_p = jax.grad(loss_pallas, argnums=(0, 1, 2, 3))(x, gx, w_h, h0)
+    finally:
+        ptwa.INTERPRET = False
+    g_x = jax.grad(loss_xla, argnums=(0, 1, 2, 3))(x, gx, w_h, h0)
+    for a, b in zip(g_p, g_x):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
+
+
+def test_supports_pallas_gate():
+    assert supports_pallas((1, 20, 45, 80, 256), jnp.bfloat16)
+    assert not supports_pallas((1, 20, 45, 80, 256), jnp.float32)  # bf16 only
+    assert not supports_pallas((1, 20, 17, 80, 256), jnp.bfloat16)  # prime H > 16

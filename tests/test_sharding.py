@@ -5,7 +5,7 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from iip_uavsal_saliency_tpu.models import UAVSal
+from iip_uavsal_saliency_tpu.models import UAVSal, init_variables
 from iip_uavsal_saliency_tpu.parallel import (
     TrainState,
     create_train_state,
@@ -30,7 +30,7 @@ def _setup(v):
     o = jnp.asarray(rng.rand(HO, WO, 20).astype(np.float32))
     s = model.init_state(H, W, v)
     y = jnp.asarray((rng.rand(v, T, HO, WO, 2) > 0.7).astype(np.float32))
-    variables = model.init(jax.random.PRNGKey(0), x, g, o, s)
+    variables = init_variables(model, jax.random.PRNGKey(0), x, g, o, s)
     return model, variables, (x, g, o, s, y)
 
 
