@@ -60,16 +60,17 @@ def main():
 
     x_f = x_u8.astype(jnp.float32) / 255.0
     variables = init_variables(model, jax.random.PRNGKey(0), x_f, gauss, ob, state)
+    compute_dtype = None
     if args.dtype == "bf16":
+        compute_dtype = jnp.bfloat16
         variables = jax.tree_util.tree_map(
             lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, variables
         )
-        x_u8 = x_u8  # normalize stays in input dtype path
         gauss = gauss.astype(jnp.bfloat16)
         ob = ob.astype(jnp.bfloat16)
         state = state.astype(jnp.bfloat16)
 
-    infer = make_infer_step(model)
+    infer = make_infer_step(model, compute_dtype=compute_dtype)
     params, batch_stats = variables["params"], variables.get("batch_stats", {})
 
     # compile + warmup

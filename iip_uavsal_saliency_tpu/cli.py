@@ -1,0 +1,212 @@
+"""Command-line pipelines: the Demo_* entry points as subcommands.
+
+Equivalent orchestration to the reference's demo scripts
+(reference: Demo_Train_Test.py:283-303 train->test->eval->visualize,
+Demo_Test.py:99-130 test->eval->visualize, Tools/* standalone drivers), with
+the shared dataclass config (utils/config.py) instead of per-script global
+blocks.
+
+    python -m iip_uavsal_saliency_tpu train      [--config cfg.json] [--key value ...]
+    python -m iip_uavsal_saliency_tpu test       [--model-path ...]
+    python -m iip_uavsal_saliency_tpu eval       [--methods A,B]
+    python -m iip_uavsal_saliency_tpu eval-img   [--methods A,B]
+    python -m iip_uavsal_saliency_tpu vis        [--methods A,B]
+    python -m iip_uavsal_saliency_tpu modelsize
+    python -m iip_uavsal_saliency_tpu pipeline   # train -> test -> eval -> vis
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from typing import List, Optional, Sequence
+
+from .utils.config import Config, load_config
+from .utils.logging import get_logger
+
+log = get_logger("cli")
+
+
+def _split_cli(argv: Sequence[str]):
+    """Extract --config and --methods; pass the rest to load_config."""
+    argv = list(argv)
+    cfg_path, methods = None, None
+    rest: List[str] = []
+    i = 0
+    while i < len(argv):
+        if argv[i] == "--config":
+            cfg_path = argv[i + 1]
+            i += 2
+        elif argv[i] == "--methods":
+            methods = argv[i + 1].split(",")
+            i += 2
+        elif argv[i] == "--model-path":
+            rest += ["--pre_model_path", argv[i + 1]]
+            i += 2
+        else:
+            rest.append(argv[i])
+            i += 1
+    return cfg_path, methods, rest
+
+
+def cmd_train(cfg: Config):
+    from .training.trainer import TrainConfig, Trainer
+
+    tc = TrainConfig(
+        method_name=cfg.method_name,
+        cnn_type=cfg.cnn_type,
+        iosize=cfg.iosize,
+        time_dims=cfg.time_dims,
+        num_stblock=cfg.num_stblock,
+        bias_type=cfg.bias_type,
+        batch_size=cfg.batch_size,
+        epochs=cfg.epochs,
+        learning_rate=cfg.learning_rate,
+        weight_decay=cfg.weight_decay,
+        is_early_stop=cfg.is_early_stop,
+        max_patience=cfg.max_patience,
+        is_best_only=cfg.is_best_only,
+        shuffle_train=cfg.shuffle_train,
+    )
+    pre_vars = None
+    if cfg.pre_model_path:
+        from .training.checkpoint import load_checkpoint
+
+        ckpt = load_checkpoint(cfg.pre_model_path)
+        pre_vars = {"params": ckpt["params"], "batch_stats": ckpt["batch_stats"]}
+    trainer = Trainer(
+        tc,
+        cfg.train_data_dir,
+        cfg.train_dataset,
+        cfg.save_model_dir,
+        ext=cfg.ext,
+        pre_variables=pre_vars,
+        priors_cache_dir=cfg.priors_cache_dir,
+    )
+    trainer.train()
+
+
+def _final_ckpt(cfg: Config) -> str:
+    if cfg.pre_model_path:
+        return cfg.pre_model_path
+    return os.path.join(cfg.save_model_dir, cfg.method_name, f"{cfg.method_name}_final.ckpt")
+
+
+def cmd_test(cfg: Config):
+    from .runners.infer import load_model_for_inference, test_videos
+
+    model, variables = load_model_for_inference(
+        _final_ckpt(cfg),
+        cnn_type=cfg.cnn_type,
+        time_dims=cfg.time_dims,
+        num_stblock=cfg.num_stblock,
+        bias_type=cfg.bias_type,
+    )
+    test_videos(
+        cfg.test_input_path,
+        cfg.test_output_path,
+        model,
+        variables,
+        iosize=cfg.iosize,
+        batch_size=cfg.test_batch_size,
+        time_dims=cfg.time_dims,
+        bias_type=cfg.bias_type,
+        train_data_dir=cfg.train_data_dir,
+        dataset=cfg.train_dataset,
+        priors_cache_dir=cfg.priors_cache_dir,
+        method_name=cfg.method_name,
+    )
+
+
+def cmd_eval(cfg: Config, methods: Optional[Sequence[str]]):
+    from .evaluation.scorer import evalscores_vid, mean_scores
+
+    methods = methods or [cfg.method_name]
+    evalscores_vid(
+        cfg.test_data_dir,
+        cfg.test_result_path,
+        cfg.test_dataset,
+        methods,
+        batch_size=cfg.eval_batch_size,
+    )
+    means = mean_scores(cfg.test_result_path, methods)
+    for m, scores in means.items():
+        log.info("%s mean scores: %s", m, {k: round(v, 4) for k, v in scores.items()})
+
+
+def cmd_eval_img(cfg: Config, methods: Optional[Sequence[str]]):
+    from .evaluation.scorer import evalscores_img, mean_scores_img
+
+    methods = methods or [cfg.method_name]
+    data_dir = os.path.join(cfg.data_dir, "salicon-15", "val")
+    res_dir = os.path.join(data_dir, "Results", f"Results_{cfg.method_name}")
+    evalscores_img(data_dir, res_dir, "SALICON", methods)
+    mean_scores_img(res_dir, methods)
+
+
+def cmd_vis(cfg: Config, methods: Optional[Sequence[str]]):
+    from .vis.overlay import visual_vid
+
+    methods = methods or [cfg.method_name]
+    visual_vid(
+        cfg.test_data_dir, cfg.test_result_path, cfg.test_dataset, methods,
+        with_color=1, with_fix=0,
+    )
+
+
+def cmd_modelsize(cfg: Config):
+    import jax
+    import jax.numpy as jnp
+
+    from .models import UAVSal, init_variables
+    from .ops.stats import model_size_report
+
+    h, w = cfg.iosize[0], cfg.iosize[1]
+    model = UAVSal(
+        cnn_type=cfg.cnn_type,
+        time_dims=cfg.time_dims,
+        num_stblock=cfg.num_stblock,
+        bias_type=cfg.bias_type,
+    )
+    x = jnp.zeros((1, cfg.time_dims, h, w, 3))
+    g = jnp.zeros((h // 8, w // 8, 8))
+    o = jnp.zeros((h // 8, w // 8, 20))
+    s = model.init_state(h, w, 1)
+    variables = init_variables(model, jax.random.PRNGKey(0), x, g, o, s)
+    print(model_size_report(variables))
+
+
+def main(argv: Optional[Sequence[str]] = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] in ("-h", "--help"):
+        print(__doc__)
+        return 0
+    cmd, rest = argv[0], argv[1:]
+    cfg_path, methods, rest = _split_cli(rest)
+    cfg = load_config(cfg_path, rest)
+
+    if cmd == "train":
+        cmd_train(cfg)
+    elif cmd == "test":
+        cmd_test(cfg)
+    elif cmd == "eval":
+        cmd_eval(cfg, methods)
+    elif cmd == "eval-img":
+        cmd_eval_img(cfg, methods)
+    elif cmd == "vis":
+        cmd_vis(cfg, methods)
+    elif cmd == "modelsize":
+        cmd_modelsize(cfg)
+    elif cmd == "pipeline":  # reference: Demo_Train_Test.py:283-303
+        cmd_train(cfg)
+        cmd_test(cfg)
+        cmd_eval(cfg, methods)
+        cmd_vis(cfg, methods)
+    else:
+        print(f"unknown command: {cmd}\n{__doc__}")
+        return 2
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -139,8 +139,10 @@ def build_shuffle_map(fixs_dir: str, dataset: str = "", size=None, maxframes: fl
     return shufmap
 
 
-def _score_video(salmap, fixmap, fixpts, all_fix_pts, keys_order, batch_size, rng):
-    """(T, len(keys)) score matrix for one video."""
+def _score_video(salmap, fixmap, fixpts, all_fix_pts, keys_order, batch_size, rng,
+                 fixed_shufmap=None):
+    """(T, len(keys)) score matrix for one video. `fixed_shufmap`: use one
+    dataset-wide sAUC negative map instead of per-frame samples."""
     import cv2
 
     nframes = min(salmap.shape[3], fixpts.shape[3], fixmap.shape[3])
@@ -194,7 +196,11 @@ def _score_video(salmap, fixmap, fixpts, all_fix_pts, keys_order, batch_size, rn
             ]
         elif key == "AUC_shuffled":
             for i in range(nframes):
-                shufmap = sample_shufmap(all_fix_pts, size=sal.shape[1:], rng=rng)
+                shufmap = (
+                    fixed_shufmap
+                    if fixed_shufmap is not None
+                    else sample_shufmap(all_fix_pts, size=sal.shape[1:], rng=rng)
+                )
                 scores[i, k] = auc_shuffled_np(sal[i], gt_pts[i], shufmap, rng=rng)
         else:
             raise KeyError(key)
@@ -257,6 +263,232 @@ def evalscores_vid(
                 "%d/%d %s: %d frames %.2fs", n_idx + 1, len(sal_names), file_name,
                 iscores.shape[0], time.time() - t0,
             )
+
+
+def evalscores_vid_sum(
+    root_dir: str,
+    sal_dir: str,
+    dataset: str,
+    method_names: Sequence[str],
+    keys_order: Sequence[str] = KEYS_ORDER,
+    batch_size: int = 32,
+    rng: Optional[np.random.RandomState] = None,
+) -> None:
+    """Sum-shufmap eval variant: one dataset-wide summed fixation map as the
+    sAUC negative set, cached to `Shuffle_<DS>.mat`
+    (reference: utils_score_torch.py:368-470)."""
+    rng = rng or np.random.RandomState()
+    maps_dir = os.path.join(root_dir, "maps")
+    fixs_dir = os.path.join(root_dir, "fixations", "maps")
+    sals_dir = os.path.join(sal_dir, "Saliency")
+    score_dir = os.path.join(sal_dir, "Scores_sum")
+    os.makedirs(score_dir, exist_ok=True)
+
+    shufmap = None
+    if "AUC_shuffled" in keys_order:
+        cache = os.path.join(root_dir, f"Shuffle_{dataset.upper()}.mat")
+        if not os.path.exists(cache):
+            shufmap = build_shuffle_map(fixs_dir, dataset)
+            savemat(cache, {"ShufMap": shufmap})
+        else:
+            shufmap = loadmat(cache, "ShufMap")
+
+    for m_idx, method in enumerate(method_names):
+        log.info("--- %d/%d: %s", m_idx + 1, len(method_names), method)
+        iscore_dir = os.path.join(score_dir, method)
+        os.makedirs(iscore_dir, exist_ok=True)
+        salmap_dir = os.path.join(sals_dir, method)
+        sal_names = sorted(f for f in os.listdir(salmap_dir) if f.endswith(".mat"))
+
+        for n_idx, name in enumerate(sal_names):
+            file_name = name[:-4]
+            iscore_path = os.path.join(iscore_dir, f"Score_{file_name}.mat")
+            if os.path.exists(iscore_path):
+                continue
+            t0 = time.time()
+            salmap = loadmat(os.path.join(salmap_dir, name), "salmap")
+            fixmap = loadmat(os.path.join(maps_dir, file_name + "_fixMaps.mat"), "fixMap")
+            fixpts = loadmat(os.path.join(fixs_dir, file_name + "_fixPts.mat"), "fixLoc")
+            ishufmap = shufmap
+            if ishufmap is not None and ishufmap.shape != fixpts.shape[:2]:
+                ishufmap = resize_fixation(ishufmap, fixpts.shape[0], fixpts.shape[1])
+            iscores = _score_video(
+                salmap, fixmap, fixpts, [], keys_order, batch_size, rng,
+                fixed_shufmap=ishufmap,
+            )
+            savemat(iscore_path, {"iscore": iscores})
+            log.info(
+                "%d/%d %s: %d frames %.2fs", n_idx + 1, len(sal_names), file_name,
+                iscores.shape[0], time.time() - t0,
+            )
+
+
+def collect_all_fixations_img(fixs_dir: str):
+    """Image-dataset pool of normalized fixation coords
+    (reference: utils_score.py:310-345, key 'I')."""
+    fix_names = sorted(f for f in os.listdir(fixs_dir) if f.endswith(".mat"))
+    all_pts = []
+    for name in fix_names:
+        fixpts = np.asarray(loadmat(os.path.join(fixs_dir, name), "I"))
+        h, w = fixpts.shape[0], fixpts.shape[1]
+        fx, fy = np.where(fixpts)
+        all_pts.append(
+            np.stack([fx / h, fy / w], axis=1) if fx.size else np.zeros((0, 2))
+        )
+    return all_pts
+
+
+def build_shuffle_map_img(fixs_dir: str, size=(480, 640)):
+    """Summed fixation map over an image dataset
+    (reference: utils_score.py:250-307)."""
+    fix_names = sorted(f for f in os.listdir(fixs_dir) if f.endswith(".mat"))
+    shufmap = np.zeros(size)
+    for name in fix_names:
+        fixpts = np.asarray(loadmat(os.path.join(fixs_dir, name), "I"))
+        if fixpts.shape[:2] != tuple(size):
+            fixpts = resize_fixation(fixpts, size[0], size[1])
+        shufmap += fixpts
+    return np.round(shufmap)
+
+
+def _score_image(salmap, fixmap, fixpts, keys_order, shufmap, rng):
+    """One image's score row (len(keys),). NaN if any input is degenerate."""
+    if not np.any(salmap) or not np.any(fixmap) or not np.any(fixpts):
+        return np.full(len(keys_order), np.nan)
+    pred = jnp.asarray(salmap[None, :, :, None].astype(np.float32))
+    true = jnp.asarray(
+        np.stack([fixmap, fixpts], axis=-1)[None].astype(np.float32)
+    )
+    kl, cc, nss, sim, aucj = (np.asarray(a)[0] for a in _device_metrics(pred, true))
+    device_vals = {"KLD": kl, "CC": cc, "NSS": nss, "SIM": sim, "AUC_Judd": aucj}
+    row = np.zeros(len(keys_order))
+    for k, key in enumerate(keys_order):
+        if key in device_vals:
+            row[k] = device_vals[key]
+        elif key == "AUC_Borji":
+            row[k] = auc_borji_np(salmap, fixpts, rng=rng)
+        elif key == "AUC_shuffled":
+            row[k] = auc_shuffled_np(salmap, fixpts, shufmap, rng=rng)
+        else:
+            raise KeyError(key)
+    return row
+
+
+def _evalscores_img_common(
+    data_dir, res_dir, method_names, keys_order, rng, shufmap_for, score_subdir
+):
+    maps_dir = os.path.join(data_dir, "maps")
+    sals_dir = os.path.join(res_dir, "Saliency")
+    score_dir = os.path.join(res_dir, score_subdir)
+    os.makedirs(score_dir, exist_ok=True)
+
+    import cv2
+
+    for m_idx, method in enumerate(method_names):
+        log.info("--- %d/%d: %s", m_idx + 1, len(method_names), method)
+        score_path = os.path.join(score_dir, f"Score_{method}.mat")
+        if os.path.exists(score_path):  # resume (reference :655-657)
+            continue
+        salmap_dir = os.path.join(sals_dir, method)
+        sal_names = sorted(f for f in os.listdir(salmap_dir) if f.endswith(".png"))
+        fixs_dir = os.path.join(data_dir, "fixations", "maps")
+
+        scores = np.zeros((len(sal_names), len(keys_order)))
+        for n_idx, name in enumerate(sal_names):
+            salmap = cv2.imread(os.path.join(salmap_dir, name), -1) / 255.0
+            fixmap = cv2.imread(os.path.join(maps_dir, name), -1) / 255.0
+            fixpts = np.asarray(
+                loadmat(os.path.join(fixs_dir, name[:-4] + ".mat"), "I")
+            )
+            scores[n_idx] = _score_image(
+                salmap, fixmap, fixpts, keys_order, shufmap_for(fixpts), rng
+            )
+        savemat(score_path, {"scores": scores})
+        log.info("%s: %d images scored", method, len(sal_names))
+
+
+def evalscores_img(
+    data_dir: str,
+    res_dir: str,
+    dataset: str,
+    method_names: Sequence[str],
+    keys_order: Sequence[str] = KEYS_ORDER,
+    rng: Optional[np.random.RandomState] = None,
+) -> None:
+    """Image eval driver, per-image random shufmaps from the dataset fixation
+    pool cached to `ALLFixPts_<DS>.npy` (reference: utils_score.py:629-682)."""
+    rng = rng or np.random.RandomState()
+    fixs_dir = os.path.join(data_dir, "fixations", "maps")
+    all_fix_pts = []
+    if "AUC_shuffled" in keys_order:
+        cache = os.path.join(data_dir, f"ALLFixPts_{dataset.upper()}.npy")
+        if not os.path.exists(cache):
+            all_fix_pts = collect_all_fixations_img(fixs_dir)
+            np.save(cache, np.array(all_fix_pts, dtype=object), allow_pickle=True)
+        else:
+            all_fix_pts = list(np.load(cache, allow_pickle=True))
+
+    def shufmap_for(fixpts):
+        if "AUC_shuffled" not in keys_order:
+            return None
+        return sample_shufmap(all_fix_pts, size=fixpts.shape, rng=rng)
+
+    _evalscores_img_common(
+        data_dir, res_dir, method_names, keys_order, rng, shufmap_for, "Scores"
+    )
+
+
+def evalscores_img_sum(
+    data_dir: str,
+    res_dir: str,
+    dataset: str,
+    method_names: Sequence[str],
+    keys_order: Sequence[str] = KEYS_ORDER,
+    rng: Optional[np.random.RandomState] = None,
+) -> None:
+    """Image eval driver, one summed-fixation shufmap cached to
+    `Shuffle_<DS>.mat` (reference: utils_score.py:570-627)."""
+    rng = rng or np.random.RandomState()
+    fixs_dir = os.path.join(data_dir, "fixations", "maps")
+    shufmap = None
+    if "AUC_shuffled" in keys_order:
+        cache = os.path.join(data_dir, f"Shuffle_{dataset.upper()}.mat")
+        if not os.path.exists(cache):
+            shufmap = build_shuffle_map_img(fixs_dir)
+            savemat(cache, {"ShufMap": shufmap})
+        else:
+            shufmap = loadmat(cache, "ShufMap")
+
+    def shufmap_for(fixpts):
+        if shufmap is None:
+            return None
+        if shufmap.shape != fixpts.shape[:2]:
+            return resize_fixation(shufmap, fixpts.shape[0], fixpts.shape[1])
+        return shufmap
+
+    _evalscores_img_common(
+        data_dir, res_dir, method_names, keys_order, rng, shufmap_for, "Scores_sum"
+    )
+
+
+def mean_scores_img(
+    res_dir: str,
+    method_names: Sequence[str],
+    keys_order: Sequence[str] = KEYS_ORDER,
+    score_subdir: str = "Scores",
+) -> Dict[str, Dict[str, float]]:
+    """NaN-masked dataset means per method for image scores
+    (replaces reference Tools/Img_MeanScore.m)."""
+    out: Dict[str, Dict[str, float]] = {}
+    for method in method_names:
+        scores = loadmat(
+            os.path.join(res_dir, score_subdir, f"Score_{method}.mat"), "scores"
+        )
+        with np.errstate(invalid="ignore"):
+            means = np.nanmean(scores, axis=0)
+        out[method] = {k: float(means[i]) for i, k in enumerate(keys_order)}
+        log.info("%s: %s", method, {k: round(v, 4) for k, v in out[method].items()})
+    return out
 
 
 def mean_scores(

@@ -22,3 +22,4 @@ from .uavsal import (
     init_variables,
     MODEL_ZOO,
 )
+from .srfnet_image import SRFNetImage, transfer_sfnet

@@ -128,9 +128,14 @@ def make_eval_step(model, loss_fn: Callable = loss_fu, mesh=None):
     )
 
 
-def make_infer_step(model, mesh=None, out_dtype=None):
+def make_infer_step(model, mesh=None, out_dtype=None, compute_dtype=None):
     """Inference step: eval-mode forward, returns (saliency, new_state).
-    Accepts uint8 frames and normalizes on-device (cheaper host->HBM)."""
+    Accepts uint8 frames and normalizes on-device (cheaper host->HBM).
+
+    `compute_dtype=jnp.bfloat16` runs the serving path: activations in bf16
+    (params should be pre-cast), which also enables the fused Pallas TWA
+    kernel on TPU. The saliency output is returned in f32 unless out_dtype
+    says otherwise."""
     from ..data.letterbox import IMAGENET_MEAN, IMAGENET_STD
 
     mean = jnp.asarray(IMAGENET_MEAN)
@@ -140,11 +145,12 @@ def make_infer_step(model, mesh=None, out_dtype=None):
         if x.dtype == jnp.uint8:
             x = x.astype(jnp.float32) / 255.0
             x = (x - mean) / std
+        if compute_dtype is not None:
+            x = x.astype(compute_dtype)
         out, new_rnn = model.apply(
             {"params": params, "batch_stats": batch_stats}, x, gauss, ob, rnn_state
         )
-        if out_dtype is not None:
-            out = out.astype(out_dtype)
+        out = out.astype(out_dtype if out_dtype is not None else jnp.float32)
         return out, new_rnn
 
     if mesh is None:

@@ -1,1 +1,2 @@
 from .infer import test_videos, load_model_for_inference
+from .infer_images import test_images

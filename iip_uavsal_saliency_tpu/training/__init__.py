@@ -9,3 +9,6 @@ from .losses import (
     metric_sim,
 )
 from .optim import make_optimizer, make_frozen_mask
+from .checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
+from .trainer import TrainConfig, Trainer
+from .image_trainer import ImageTrainConfig, train_salicon

@@ -24,8 +24,10 @@ def _to_host(tree: Any) -> Any:
 
 
 def save_checkpoint(path: str, payload: dict) -> None:
-    """Serialize a {name: pytree} dict to one msgpack file."""
+    """Serialize a {name: pytree} dict to one msgpack file. `to_state_dict`
+    first: optax states are custom pytree nodes msgpack can't walk."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    payload = flax.serialization.to_state_dict(payload)
     data = flax.serialization.msgpack_serialize(_to_host(payload))
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:

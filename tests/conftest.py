@@ -7,6 +7,10 @@ import os
 
 # Force CPU: the session environment pins JAX_PLATFORMS=axon (the TPU
 # tunnel), which serializes across processes — tests must never touch it.
+# The axon sitecustomize (PYTHONPATH=/root/.axon_site) imports jax BEFORE
+# this conftest runs, so setting the env var alone is too late; the
+# jax.config.update below overrides the already-read env default. XLA_FLAGS
+# is still read lazily at first backend init, so setting it here works.
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
@@ -17,7 +21,10 @@ import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+assert jax.default_backend() == "cpu", "tests must run on CPU"
+assert len(jax.devices()) == 8, "tests need 8 virtual CPU devices"
 
 # Persistent compilation cache: the test machine has a single CPU core, so
 # compiles of the full model graph dominate wall time. Cache them on disk —

@@ -1,0 +1,29 @@
+"""CLI plumbing: flag parsing, config overrides, command dispatch."""
+
+from iip_uavsal_saliency_tpu.cli import _split_cli, main
+from iip_uavsal_saliency_tpu.utils.config import load_config
+
+
+def test_split_cli():
+    cfg_path, methods, rest = _split_cli(
+        ["--config", "c.json", "--methods", "A,B", "--epochs", "3",
+         "--model-path", "/w/final.ckpt"]
+    )
+    assert cfg_path == "c.json"
+    assert methods == ["A", "B"]
+    assert rest == ["--epochs", "3", "--pre_model_path", "/w/final.ckpt"]
+
+
+def test_load_config_overrides():
+    cfg = load_config(None, ["--epochs", "3", "--iosize", "288,512,36,64",
+                             "--learning_rate", "1e-5", "--is_early_stop", "false"])
+    assert cfg.epochs == 3
+    assert cfg.iosize == (288, 512, 36, 64)
+    assert cfg.learning_rate == 1e-5
+    assert cfg.is_early_stop is False
+
+
+def test_main_help_and_unknown():
+    assert main([]) == 0
+    assert main(["--help"]) == 0
+    assert main(["frobnicate"]) == 2

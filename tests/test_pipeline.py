@@ -1,0 +1,159 @@
+"""End-to-end pipeline on a synthetic on-disk video dataset:
+train (1 epoch TBPTT) -> per-video .mat inference -> 7-metric eval ->
+mean scores -> overlay video. Exercises Trainer, runners.infer,
+evaluation.scorer, vis.overlay together, dataset-free."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from iip_uavsal_saliency_tpu.data.matio import loadmat, savemat
+from iip_uavsal_saliency_tpu.data.priors import get_gauss_priors
+from iip_uavsal_saliency_tpu.evaluation.scorer import (
+    evalscores_vid,
+    evalscores_vid_sum,
+    mean_scores,
+)
+from iip_uavsal_saliency_tpu.runners.infer import test_videos as run_test_videos
+from iip_uavsal_saliency_tpu.training.checkpoint import load_checkpoint
+from iip_uavsal_saliency_tpu.training.trainer import TrainConfig, Trainer
+from iip_uavsal_saliency_tpu.vis.overlay import visual_vid
+
+# tiny everything: 64x64 input -> 8x8 output, 2-frame clips, 8-frame videos
+IOSIZE = (64, 64, 8, 8)
+TIME_DIMS = 2
+NATIVE_H, NATIVE_W, NFRAMES = 48, 72, 8
+
+
+def _write_video(path, rng):
+    fourcc = cv2.VideoWriter_fourcc(*"DIVX")
+    wr = cv2.VideoWriter(path, fourcc, 10, (NATIVE_W, NATIVE_H), isColor=True)
+    for _ in range(NFRAMES):
+        wr.write(rng.randint(0, 255, (NATIVE_H, NATIVE_W, 3), np.uint8))
+    wr.release()
+
+
+@pytest.fixture(scope="module")
+def video_dataset(tmp_path_factory):
+    """Reference layout: Videos/, maps/<v>_fixMaps.mat, fixations/maps/
+    <v>_fixPts.mat, txt/{train,val}.txt."""
+    root = tmp_path_factory.mktemp("UAV2")
+    rng = np.random.RandomState(0)
+    for d in ("Videos", "maps", os.path.join("fixations", "maps"), "txt"):
+        os.makedirs(os.path.join(root, d), exist_ok=True)
+    names = ["vid_a", "vid_b"]
+    for name in names:
+        _write_video(os.path.join(root, "Videos", name + ".avi"), rng)
+        fmap = np.zeros((NATIVE_H, NATIVE_W, 1, NFRAMES), np.uint8)
+        floc = np.zeros((NATIVE_H, NATIVE_W, 1, NFRAMES), np.uint8)
+        for t in range(NFRAMES):
+            yy, xx = rng.randint(8, NATIVE_H - 8), rng.randint(8, NATIVE_W - 8)
+            floc[yy, xx, 0, t] = 1
+            blur = np.zeros((NATIVE_H, NATIVE_W), np.float32)
+            blur[yy, xx] = 255
+            fmap[:, :, 0, t] = cv2.GaussianBlur(blur, (21, 21), 6).astype(np.uint8)
+        savemat(os.path.join(root, "maps", name + "_fixMaps.mat"), {"fixMap": fmap})
+        savemat(
+            os.path.join(root, "fixations", "maps", name + "_fixPts.mat"),
+            {"fixLoc": floc},
+        )
+    with open(os.path.join(root, "txt", "train.txt"), "w") as f:
+        f.write("vid_a\n")
+    with open(os.path.join(root, "txt", "val.txt"), "w") as f:
+        f.write("vid_b\n")
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def trained(video_dataset, tmp_path_factory):
+    save_dir = str(tmp_path_factory.mktemp("weights"))
+    cfg = TrainConfig(
+        method_name="TinyUAVSal",
+        iosize=IOSIZE,
+        time_dims=TIME_DIMS,
+        batch_size=1,
+        epochs=1,
+        bias_type=(1, 0, 1),  # no observed priors (needs dataset cache)
+        freeze=(),
+        is_early_stop=False,
+    )
+    trainer = Trainer(
+        cfg, video_dataset, "UAV2", save_dir, ext=".avi",
+        priors_cache_dir=str(tmp_path_factory.mktemp("priors")),
+    )
+    state = trainer.train()
+    final = os.path.join(save_dir, "TinyUAVSal", "TinyUAVSal_final.ckpt")
+    assert os.path.exists(final)
+    return trainer, state, final
+
+
+def test_train_one_epoch(trained):
+    trainer, state, final = trained
+    assert int(state.step) > 0
+    ckpt = load_checkpoint(final)
+    assert "params" in ckpt and "batch_stats" in ckpt
+
+
+def test_infer_eval_vis(trained, video_dataset, tmp_path_factory):
+    trainer, state, final = trained
+    res_dir = str(tmp_path_factory.mktemp("Results"))
+    out_path = os.path.join(res_dir, "Saliency")
+
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    run_test_videos(
+        video_dataset + "/Videos",
+        out_path,
+        trainer.model,
+        variables,
+        iosize=IOSIZE,
+        batch_size=1,
+        time_dims=TIME_DIMS,
+        bias_type=(1, 0, 1),
+        method_name="TinyUAVSal",
+    )
+    out_a = os.path.join(out_path, "TinyUAVSal", "vid_a.mat")
+    assert os.path.exists(out_a)
+    sal = loadmat(out_a, "salmap")
+    assert sal.shape == (NATIVE_H, NATIVE_W, 1, NFRAMES)
+    assert sal.dtype == np.uint8
+    assert sal.max() == 255  # per-frame max-normalized
+
+    # resumability: second call must skip (mtime unchanged)
+    mtime = os.path.getmtime(out_a)
+    run_test_videos(
+        video_dataset + "/Videos", out_path, trainer.model, variables,
+        iosize=IOSIZE, batch_size=1, time_dims=TIME_DIMS, bias_type=(1, 0, 1),
+        method_name="TinyUAVSal",
+    )
+    assert os.path.getmtime(out_a) == mtime
+
+    # 7-metric eval + mean scores
+    evalscores_vid(
+        video_dataset, res_dir, "UAV2", ["TinyUAVSal"],
+        batch_size=4, rng=np.random.RandomState(0),
+    )
+    iscore = loadmat(
+        os.path.join(res_dir, "Scores", "TinyUAVSal", "Score_vid_a.mat"), "iscore"
+    )
+    assert iscore.shape == (NFRAMES, 7)
+    means = mean_scores(res_dir, ["TinyUAVSal"])
+    assert 0.0 <= means["TinyUAVSal"]["AUC_Judd"] <= 1.0
+
+    # sum-shufmap variant
+    evalscores_vid_sum(
+        video_dataset, res_dir, "UAV2", ["TinyUAVSal"],
+        batch_size=4, rng=np.random.RandomState(0),
+    )
+    assert os.path.exists(
+        os.path.join(res_dir, "Scores_sum", "TinyUAVSal", "Score_vid_a.mat")
+    )
+
+    # overlay video (written under Saliency/<m>/Visual_color_map, as the
+    # reference does: utils_vis.py:139-145)
+    visual_vid(video_dataset, res_dir, "UAV2", ["TinyUAVSal"], with_color=1)
+    vis_dir = os.path.join(out_path, "TinyUAVSal", "Visual_color_map")
+    assert os.path.exists(vis_dir) and os.listdir(vis_dir), "no overlay videos"
