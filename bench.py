@@ -33,7 +33,11 @@ def main():
     ap.add_argument("--videos", type=int, default=1, help="parallel videos (V axis)")
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--warmup", type=int, default=5)
-    ap.add_argument("--dtype", choices=["f32", "bf16"], default="f32")
+    ap.add_argument("--dtype", choices=["f32", "bf16"], default="bf16",
+                    help="bf16 is the serving path (f32 for reference parity)")
+    ap.add_argument("--twa", choices=["auto", "pallas", "xla"], default="auto",
+                    help="TWA recurrence (auto==xla scan, the faster path; "
+                         "pallas opts into the fused kernel)")
     ap.add_argument("--baseline-fps", type=float, default=85.0)
     args = ap.parse_args()
 
@@ -51,7 +55,8 @@ def main():
     s = args.clips * args.time_dims
     v = args.videos
 
-    model = UAVSal(time_dims=args.time_dims)
+    twa_pallas = {"auto": None, "pallas": True, "xla": False}[args.twa]
+    model = UAVSal(time_dims=args.time_dims, twa_pallas=twa_pallas)
     rng = np.random.RandomState(0)
     x_u8 = jnp.asarray(rng.randint(0, 255, (v, s, h, w, 3), np.uint8))
     gauss = jnp.asarray(rng.rand(ho, wo, 8).astype(np.float32))

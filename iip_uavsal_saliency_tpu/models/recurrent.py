@@ -27,7 +27,7 @@ across videos.
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -60,16 +60,19 @@ class ConvTWA(nn.Module):
     Accepts (S, H, W, C) with state (H, W, C), or batched (V, S, H, W, C)
     with state (V, H, W, C) — sequential in S, parallel across V.
 
-    `use_pallas`: None = auto (fused VMEM-resident Pallas kernel on TPU for
-    bf16 inputs when the shape qualifies, see ops/pallas_twa.py); True/False
-    forces. The Pallas forward pairs with an XLA-recompute backward, so the
-    cell stays differentiable either way.
+    `use_pallas`: True runs the fused VMEM-resident Pallas kernel
+    (ops/pallas_twa.py, TPU + bf16 + qualifying shapes only; differentiable
+    via an XLA-recompute VJP). Default False/None = the XLA scan with the
+    hoisted input conv — measured FASTER on TPU v5e (994 vs 877 FPS
+    whole-model at 360x640): XLA's implicit-GEMM conv beats the kernel's
+    shifted-matmul taps, and the whole recurrence is only ~6% of step time.
+    The kernel is kept as an opt-in and a base for future tuning.
     """
 
     hidden_dim: int = 256
     kernel_size: int = 3
     use_bias: bool = False
-    use_pallas: bool | None = None
+    use_pallas: Optional[bool] = None
 
     def init_state(self, height: int, width: int, dtype=jnp.float32) -> jnp.ndarray:
         return jnp.zeros((height, width, self.hidden_dim), dtype)
@@ -102,13 +105,11 @@ class ConvTWA(nn.Module):
 
         from ..ops.pallas_twa import supports_pallas, twa_scan, twa_scan_xla
 
-        use_pallas = self.use_pallas
-        if use_pallas is None:
-            use_pallas = (
-                jax.default_backend() == "tpu"
-                and self.kernel_size == 3
-                and supports_pallas(x.shape, x.dtype)
-            )
+        use_pallas = bool(self.use_pallas) and (
+            jax.default_backend() == "tpu"
+            and self.kernel_size == 3
+            and supports_pallas(x.shape, x.dtype)
+        )
         if use_pallas:
             ys, h_last = twa_scan(x, gx, w_h.astype(x.dtype), state)
         else:

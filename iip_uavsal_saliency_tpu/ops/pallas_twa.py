@@ -84,7 +84,11 @@ def _row_block(h: int, max_rb: int = 16) -> Optional[int]:
     return None
 
 
-def _twa_kernel(x_ref, gx_ref, w_ref, h0_ref, ys_ref, h_pp, sem, *, rb, H, W, C):
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _twa_kernel(x_ref, gx_ref, w_ref, h0_ref, ys_ref, h_pp, sem, *, rb, H, W, C, PW):
     s = pl.program_id(1)
     k = pl.program_id(2)
     cur = s % 2
@@ -93,19 +97,19 @@ def _twa_kernel(x_ref, gx_ref, w_ref, h0_ref, ys_ref, h_pp, sem, *, rb, H, W, C)
 
     @pl.when(jnp.logical_and(s == 0, k == 0))
     def _init():
-        # Zero both slots (borders double as conv zero-padding), then DMA
-        # this video's h0 into slot 0's interior.
-        h_pp[:] = jnp.zeros_like(h_pp)
-        dma = pltpu.make_async_copy(
-            h0_ref.at[v], h_pp.at[0, pl.ds(1, H), pl.ds(1, W), :], sem
-        )
+        # Zero slot 1 (borders double as conv zero-padding; slot 0's borders
+        # come in pre-zeroed), then DMA this video's host-padded h0 into
+        # slot 0. The copy is a full (H+2, W+2, C) slice — DMA destinations
+        # with sublane-unaligned offsets fail Mosaic's tiling proof.
+        h_pp[1] = jnp.zeros_like(h_pp[1])
+        dma = pltpu.make_async_copy(h0_ref.at[v], h_pp.at[0], sem)
         dma.start()
         dma.wait()
 
     r0 = k * rb
     # h_{s-1} window for this chunk: rows r0..r0+rb+2 of the padded buffer
     # cover output rows r0..r0+rb with their +/-1 halo; same in W.
-    win = h_pp[cur, pl.ds(r0, rb + 2), :, :]  # (rb+2, W+2, C)
+    win = h_pp[cur, pl.ds(r0, rb + 2), :, :]  # (rb+2, PW, C)
 
     acc = jnp.zeros((rb * W, C), jnp.float32)
     for dy in range(3):
@@ -120,7 +124,12 @@ def _twa_kernel(x_ref, gx_ref, w_ref, h0_ref, ys_ref, h_pp, sem, *, rb, H, W, C)
     h_new = (gate * x_t + (1.0 - gate) * h_prev).reshape(rb, W, C).astype(ys_ref.dtype)
 
     ys_ref[0, 0] = h_new
-    h_pp[nxt, pl.ds(1 + r0, rb), pl.ds(1, W), :] = h_new
+    # Full-width store at an aligned W offset: Mosaic cannot prove
+    # tile-alignment of a dynamic offset-1 slice in the sublane dim, so the
+    # zero halo columns are written as part of the row block instead.
+    h_pp[nxt, pl.ds(1 + r0, rb), :, :] = jnp.pad(
+        h_new, ((0, 0), (1, PW - W - 1), (0, 0))
+    )
 
 
 def twa_scan_pallas(x: jnp.ndarray, gx: jnp.ndarray, w_h: jnp.ndarray,
@@ -138,7 +147,13 @@ def twa_scan_pallas(x: jnp.ndarray, gx: jnp.ndarray, w_h: jnp.ndarray,
     if interpret is None:
         interpret = INTERPRET
 
-    kernel = functools.partial(_twa_kernel, rb=rb, H=h, W=w, C=c)
+    # Halo-padded h0 (zero borders ARE the conv zero-padding); done on the
+    # host so the kernel's init DMA is a full aligned slice. The padded width
+    # rounds up to the 8-sublane tile (DMA slice shapes must be tile-aligned).
+    pw = _round_up(w + 2, 8)
+    h0 = jnp.pad(h0, ((0, 0), (1, 1), (1, pw - w - 1), (0, 0)))
+
+    kernel = functools.partial(_twa_kernel, rb=rb, H=h, W=w, C=c, PW=pw)
     ys = pl.pallas_call(
         kernel,
         grid=(v, s, n_chunks),
@@ -155,7 +170,7 @@ def twa_scan_pallas(x: jnp.ndarray, gx: jnp.ndarray, w_h: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((v, s, h, w, c), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, h + 2, w + 2, c), x.dtype),
+            pltpu.VMEM((2, h + 2, pw, c), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(

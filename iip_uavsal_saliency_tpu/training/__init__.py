@@ -10,5 +10,17 @@ from .losses import (
 )
 from .optim import make_optimizer, make_frozen_mask
 from .checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
-from .trainer import TrainConfig, Trainer
-from .image_trainer import ImageTrainConfig, train_salicon
+
+
+def __getattr__(name):
+    # lazy: trainer modules import parallel.steps, which imports
+    # training.losses — eager imports here would be circular
+    if name in ("TrainConfig", "Trainer"):
+        from . import trainer
+
+        return getattr(trainer, name)
+    if name in ("ImageTrainConfig", "train_salicon"):
+        from . import image_trainer
+
+        return getattr(image_trainer, name)
+    raise AttributeError(name)
