@@ -114,6 +114,64 @@ def convert_mobilenet_v2_backbone(sd: Mapping[str, Any], prefix: str = "") -> Tu
     return params, stats
 
 
+_RESNET_LAYER_COUNTS = {
+    "resnet18": [2, 2, 2, 2],
+    "resnet34": [3, 4, 6, 3],
+    "resnet50": [3, 4, 6, 3],
+    "resnet101": [3, 4, 23, 3],
+    "resnet152": [3, 8, 36, 3],
+}
+_RESNET_BOTTLENECK = ("resnet50", "resnet101", "resnet152")
+
+
+def _conv_bn_pair(sd, conv_key, bn_key) -> Tuple[Params, Stats]:
+    """ConvBNAct tree from separately-named torch conv/bn modules."""
+    return _conv_bn(sd, conv_key, bn_key)
+
+
+def convert_resnet_backbone(sd: Mapping[str, Any], name_id: str = "resnet50",
+                            prefix: str = "") -> Tuple[Params, Stats]:
+    """torchvision resnet state_dict -> our ResNetPyramid tree
+    (backbone.py: stem + layer{L}_{b}/{conv1..3,downsample}); reference
+    wrapper at model_feature.py:72-103."""
+    params: Params = {}
+    stats: Stats = {}
+    p, s = _conv_bn(sd, f"{prefix}conv1", f"{prefix}bn1")
+    params["stem"], stats["stem"] = p, s
+    n_convs = 3 if name_id in _RESNET_BOTTLENECK else 2
+    for li, n_blocks in enumerate(_RESNET_LAYER_COUNTS[name_id], start=1):
+        for b in range(n_blocks):
+            bp: Params = {}
+            bs: Stats = {}
+            base = f"{prefix}layer{li}.{b}"
+            for k in range(1, n_convs + 1):
+                p, s = _conv_bn(sd, f"{base}.conv{k}", f"{base}.bn{k}")
+                bp[f"conv{k}"], bs[f"conv{k}"] = p, s
+            if f"{base}.downsample.0.weight" in sd:
+                p, s = _conv_bn(sd, f"{base}.downsample.0", f"{base}.downsample.1")
+                bp["downsample"], bs["downsample"] = p, s
+            params[f"layer{li}_{b}"], stats[f"layer{li}_{b}"] = bp, bs
+    return params, stats
+
+
+# torchvision vgg16 `features` conv indices per stage (maxpools between)
+_VGG16_TORCH_IDX = [[0, 2], [5, 7], [10, 12, 14], [17, 19, 21], [24, 26, 28]]
+
+
+def convert_vgg16_backbone(sd: Mapping[str, Any], prefix: str = "") -> Params:
+    """torchvision vgg16 (no BN) -> our VGGPyramid conv{s}_{b} tree
+    (reference wrapper: model_feature.py:106-128). VGG convs carry biases and
+    no BN, so there are no batch_stats."""
+    params: Params = {}
+    for s_idx, stage in enumerate(_VGG16_TORCH_IDX, start=1):
+        for b_idx, t_idx in enumerate(stage, start=1):
+            params[f"conv{s_idx}_{b_idx}"] = {
+                "kernel": _t(_get(sd, f"{prefix}features.{t_idx}.weight")),
+                "bias": _get(sd, f"{prefix}features.{t_idx}.bias"),
+            }
+    return params
+
+
 def convert_uavsal_state_dict(
     sd: Mapping[str, Any],
     num_stblock: int = 2,

@@ -1,6 +1,7 @@
 from .losses import (
     EPS,
     loss_fu,
+    loss_fu_dy,
     loss_kl,
     loss_ml,
     metric_cc,

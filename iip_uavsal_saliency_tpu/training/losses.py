@@ -87,6 +87,16 @@ def loss_fu(y_pred, y_true):
     )
 
 
+def loss_fu_dy(y_pred, y_true):
+    """Composite loss on 5-D (V, S, H, W, C) clips: flatten the video/frame
+    axes then apply loss_fu (reference: loss_functions.py:52-62)."""
+    v, s = y_pred.shape[0], y_pred.shape[1]
+    return loss_fu(
+        y_pred.reshape(v * s, *y_pred.shape[2:]),
+        y_true.reshape(v * s, *y_true.shape[2:]),
+    )
+
+
 def loss_kl(y_pred, y_true):
     """10*KLD (reference: loss_functions.py:37-41)."""
     return jnp.mean(10.0 * metric_kl(y_pred, y_true))

@@ -119,6 +119,10 @@ class Trainer:
         os.makedirs(self.model_dir, exist_ok=True)
         self.prefix = os.path.join(self.model_dir, config.method_name)
 
+        from ..utils.metrics_log import MetricsLogger
+
+        self.metrics = MetricsLogger(self.model_dir)
+
         shape_r, shape_c, shape_r_out, shape_c_out = config.iosize
         self.model = UAVSal(
             cnn_type=config.cnn_type,
@@ -233,6 +237,8 @@ class Trainer:
                 run_loss += loss
                 num_step += 1
                 n_clips += 1
+                if phase == "train":
+                    self.metrics.scalar("train/loss", loss, int(self.state.step))
             if n_clips:
                 log.info("  mean %s loss: %.4f", phase, video_loss / n_clips)
         return run_loss / max(num_step, 1)
@@ -250,6 +256,7 @@ class Trainer:
             for phase in ("train", "val"):
                 mean_loss = self._run_epoch(phase)
                 log.info("epoch %d/%d mean %s loss: %.4f", epoch + 1, cfg.epochs, phase, mean_loss)
+                self.metrics.scalar(f"{phase}/mean_loss", mean_loss, epoch)
             # as in the reference, the early-stop metric is the LAST phase's
             # mean loss (val), Demo_Train_Test.py:155-169
             if not cfg.is_best_only:

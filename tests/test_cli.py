@@ -27,3 +27,17 @@ def test_main_help_and_unknown():
     assert main([]) == 0
     assert main(["--help"]) == 0
     assert main(["frobnicate"]) == 2
+
+
+def test_metrics_logger(tmp_path):
+    import json
+
+    from iip_uavsal_saliency_tpu.utils.metrics_log import MetricsLogger
+
+    with MetricsLogger(str(tmp_path)) as m:
+        m.scalar("train/loss", 1.5, step=0)
+        m.scalar("val/mean_loss", 2.0)
+        path = m.path
+    lines = [json.loads(l) for l in open(path)]
+    assert lines[0]["tag"] == "train/loss" and lines[0]["step"] == 0
+    assert lines[1]["value"] == 2.0 and "step" not in lines[1]

@@ -59,3 +59,70 @@ def test_backbone_converter_shapes(uavsal_small):
     params, stats = convert_mobilenet_v2_backbone(tv_sd)
     assert set(params) == {f"features_{i}" for i in range(18)}
     assert params["features_17"]["project"]["kernel"].shape == (1, 1, 960, 320)
+
+
+def _inv(k):
+    return np.asarray(k).transpose(3, 2, 0, 1)
+
+
+def _put_conv_bn(out, p, s, ck, bk):
+    out[ck + ".weight"] = _inv(p["conv"]["kernel"])
+    out[bk + ".weight"] = np.asarray(p["bn"]["scale"])
+    out[bk + ".bias"] = np.asarray(p["bn"]["bias"])
+    out[bk + ".running_mean"] = np.asarray(s["bn"]["mean"])
+    out[bk + ".running_var"] = np.asarray(s["bn"]["var"])
+
+
+def test_resnet_converter_roundtrip():
+    from iip_uavsal_saliency_tpu.models import init_variables
+    from iip_uavsal_saliency_tpu.models.backbone import ResNetPyramid
+    from iip_uavsal_saliency_tpu.models.convert import convert_resnet_backbone
+
+    for name_id in ("resnet18", "resnet50"):
+        model = ResNetPyramid(name_id=name_id)
+        x = jnp.zeros((1, 64, 64, 3))
+        v = init_variables(model, jax.random.PRNGKey(0), x)
+        sd = {}
+        _put_conv_bn(sd, v["params"]["stem"], v["batch_stats"]["stem"], "conv1", "bn1")
+        for key, bp in v["params"].items():
+            if key == "stem":
+                continue
+            layer, b = key[len("layer")], key.split("_")[1]
+            base = f"layer{layer}.{b}"
+            for sub, sp in bp.items():
+                ss = v["batch_stats"][key][sub]
+                if sub == "downsample":
+                    _put_conv_bn(sd, sp, ss, f"{base}.downsample.0", f"{base}.downsample.1")
+                else:
+                    _put_conv_bn(sd, sp, ss, f"{base}.{sub}", f"{base}.bn{sub[-1]}")
+        params, stats = convert_resnet_backbone(sd, name_id)
+        got = _tree_paths({"p": params, "s": stats})
+        want = _tree_paths({"p": v["params"], "s": v["batch_stats"]})
+        assert set(got) == set(want), name_id
+        for k in want:
+            np.testing.assert_array_equal(got[k], want[k], err_msg=f"{name_id}:{k}")
+
+
+def test_vgg16_converter_roundtrip():
+    from iip_uavsal_saliency_tpu.models import init_variables
+    from iip_uavsal_saliency_tpu.models.backbone import VGGPyramid
+    from iip_uavsal_saliency_tpu.models.convert import (
+        _VGG16_TORCH_IDX,
+        convert_vgg16_backbone,
+    )
+
+    model = VGGPyramid()
+    x = jnp.zeros((1, 64, 64, 3))
+    v = init_variables(model, jax.random.PRNGKey(0), x)
+    sd = {}
+    for s_idx, stage in enumerate(_VGG16_TORCH_IDX, start=1):
+        for b_idx, t_idx in enumerate(stage, start=1):
+            p = v["params"][f"conv{s_idx}_{b_idx}"]
+            sd[f"features.{t_idx}.weight"] = _inv(p["kernel"])
+            sd[f"features.{t_idx}.bias"] = np.asarray(p["bias"])
+    params = convert_vgg16_backbone(sd)
+    got = _tree_paths(params)
+    want = _tree_paths(v["params"])
+    assert set(got) == set(want)
+    for k in want:
+        np.testing.assert_array_equal(got[k], want[k], err_msg=k)

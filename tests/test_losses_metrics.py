@@ -173,3 +173,16 @@ def test_auc_shuffled_sanity():
     s_center = auc_shuffled_np(center, fpts, oth_center, rng=np.random.RandomState(4))
     s_uniform = auc_shuffled_np(center, fpts, oth_uniform, rng=np.random.RandomState(5))
     assert s_uniform > s_center
+
+
+def test_loss_fu_dy_equals_flattened(batch):
+    from iip_uavsal_saliency_tpu.training.losses import loss_fu_dy
+
+    pred, true = batch
+    p5 = jnp.asarray(pred.reshape(2, 2, *pred.shape[1:]))
+    t5 = jnp.asarray(true.reshape(2, 2, *true.shape[1:]))
+    np.testing.assert_allclose(
+        float(loss_fu_dy(p5, t5)),
+        float(loss_fu(jnp.asarray(pred), jnp.asarray(true))),
+        rtol=1e-6,
+    )
