@@ -22,3 +22,4 @@ from .priors import (
 from .lists import read_video_list, shuffle_data_dir, shuffle_data_list, get_video_list
 from .video import decode_video, save_video, preprocess_videos, preprocess_vidmaps, preprocess_vidfixs
 from .images import load_salicon_example, salicon_batches, salicon_file_lists
+from .loaders import read_traindata_list, test_dataset, traindata_dataset, video_dataset

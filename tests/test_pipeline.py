@@ -157,3 +157,38 @@ def test_infer_eval_vis(trained, video_dataset, tmp_path_factory):
     visual_vid(video_dataset, res_dir, "UAV2", ["TinyUAVSal"], with_color=1)
     vis_dir = os.path.join(out_path, "TinyUAVSal", "Visual_color_map")
     assert os.path.exists(vis_dir) and os.listdir(vis_dir), "no overlay videos"
+
+
+def test_video_dataset_iterators(video_dataset):
+    from iip_uavsal_saliency_tpu.data.loaders import test_dataset as make_test_ds
+    from iip_uavsal_saliency_tpu.data.loaders import video_dataset as make_video_ds
+
+    names, it = make_video_ds(video_dataset, "train", iosize=IOSIZE, ext=".avi")
+    name, imgs, gaze = next(iter(it))
+    assert imgs.shape == (NFRAMES, IOSIZE[0], IOSIZE[1], 3) and imgs.dtype == np.uint8
+    assert gaze.shape == (NFRAMES, IOSIZE[2], IOSIZE[3], 2)
+
+    vids, it = make_test_ds(video_dataset + "/Videos", iosize=IOSIZE)
+    assert len(vids) == 2
+    name, imgs, nframes, h, w = next(iter(it))
+    assert (nframes, h, w) == (NFRAMES, NATIVE_H, NATIVE_W)
+
+
+def test_traindata_dataset(tmp_path):
+    from iip_uavsal_saliency_tpu.data.loaders import traindata_dataset
+
+    root = tmp_path / "packed"
+    for d in ("vidmat", "labels", "txt"):
+        os.makedirs(root / d)
+    rng = np.random.RandomState(0)
+    imgs = rng.randint(0, 255, (6, 16, 16, 3), np.uint8)
+    gaze = rng.randint(0, 255, (6, 8, 8, 2), np.uint8)
+    savemat(str(root / "vidmat" / "v0.mat"),
+            {"videos": imgs, "oh": np.array([32]), "ow": np.array([48])})
+    savemat(str(root / "labels" / "v0.mat"), {"gazemap": gaze})
+    (root / "txt" / "train.txt").write_text("v0\n")
+
+    names, it = traindata_dataset(str(root), "train", max_frames=4)
+    name, vi, vg = next(iter(it))
+    assert vi.shape == (4, 16, 16, 3)
+    assert vg.shape == (4, 8, 8, 2)
