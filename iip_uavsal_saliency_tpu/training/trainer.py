@@ -206,6 +206,18 @@ class Trainer:
             clips.append((x, np.concatenate([y, mask], -1)))
         return clips
 
+    def _step(self, phase: str, x, y, rnn_state):
+        if phase == "train":
+            self.state, loss, rnn_state = self.train_step(
+                self.state, x, self.gauss, self.ob, rnn_state, y
+            )
+        else:
+            loss, rnn_state = self.eval_step(
+                self.state.params, self.state.batch_stats,
+                x, self.gauss, self.ob, rnn_state, y,
+            )
+        return float(loss), rnn_state
+
     def _run_epoch(self, phase: str) -> float:
         cfg = self.cfg
         shape_r, shape_c = cfg.iosize[:2]
@@ -214,6 +226,10 @@ class Trainer:
         videos, vidmaps, vidfixs = read_video_list(
             self.train_data_dir, phase, shuffle=shuffle, ext=self.ext
         )
+        if cfg.videos_per_step > 1:
+            return self._run_epoch_multivideo(
+                phase, videos, vidmaps, vidfixs, max_frames
+            )
         run_loss, num_step = 0.0, 0
         for idx, (vp, mp, fp) in enumerate(zip(videos, vidmaps, vidfixs)):
             log.info("%s video %d/%d: %s", phase, idx + 1, len(videos), os.path.basename(vp))
@@ -223,16 +239,7 @@ class Trainer:
             for x, y in clips:
                 x = jnp.asarray(normalize_frames(x))[None]  # (1, S, H, W, 3)
                 y = jnp.asarray(y)[None]
-                if phase == "train":
-                    self.state, loss, rnn_state = self.train_step(
-                        self.state, x, self.gauss, self.ob, rnn_state, y
-                    )
-                else:
-                    loss, rnn_state = self.eval_step(
-                        self.state.params, self.state.batch_stats,
-                        x, self.gauss, self.ob, rnn_state, y,
-                    )
-                loss = float(loss)
+                loss, rnn_state = self._step(phase, x, y, rnn_state)
                 video_loss += loss
                 run_loss += loss
                 num_step += 1
@@ -241,6 +248,52 @@ class Trainer:
                     self.metrics.scalar("train/loss", loss, int(self.state.step))
             if n_clips:
                 log.info("  mean %s loss: %.4f", phase, video_loss / n_clips)
+        return run_loss / max(num_step, 1)
+
+    def _run_epoch_multivideo(self, phase, videos, vidmaps, vidfixs, max_frames) -> float:
+        """Data-parallel epoch: groups of `videos_per_step` videos advance in
+        lock-step, one (V, S, ...) batch per step — V shards over the mesh's
+        'data' axis when a Mesh is given (a capability the single-GPU
+        reference lacks). Videos shorter than the group's longest are
+        right-padded with repeated clips whose loss mask is zero, so one
+        compiled program serves every group."""
+        cfg = self.cfg
+        v_per = cfg.videos_per_step
+        shape_r, shape_c = cfg.iosize[:2]
+        run_loss, num_step = 0.0, 0
+        for g0 in range(0, len(videos), v_per):
+            group = list(zip(videos, vidmaps, vidfixs))[g0 : g0 + v_per]
+            log.info("%s videos %d-%d/%d", phase, g0 + 1, g0 + len(group), len(videos))
+            clip_lists = [self._video_clips(vp, mp, fp, max_frames) for vp, mp, fp in group]
+            # pad the group itself (last group may be short): duplicate the
+            # first video with a fully-masked clip list
+            while len(clip_lists) < v_per:
+                clip_lists.append(
+                    [(x, np.concatenate([y[..., :2], np.zeros_like(y[..., 2:])], -1))
+                     for x, y in clip_lists[0]]
+                )
+            if not any(clip_lists):
+                continue
+            donor = next(c for c in clip_lists if c)
+            n_steps = max(len(c) for c in clip_lists)
+            rnn_state = self.model.init_state(shape_r, shape_c, v_per)
+            for t in range(n_steps):
+                xs, ys = [], []
+                for clips in clip_lists:
+                    if t < len(clips):
+                        x, y = clips[t]
+                    else:  # exhausted/empty video: repeat a clip, mask zeroed
+                        x, y = (clips or donor)[-1]
+                        y = np.concatenate([y[..., :2], np.zeros_like(y[..., 2:])], -1)
+                    xs.append(normalize_frames(x))
+                    ys.append(y)
+                x = jnp.asarray(np.stack(xs))
+                y = jnp.asarray(np.stack(ys))
+                loss, rnn_state = self._step(phase, x, y, rnn_state)
+                run_loss += loss
+                num_step += 1
+                if phase == "train":
+                    self.metrics.scalar("train/loss", loss, int(self.state.step))
         return run_loss / max(num_step, 1)
 
     def train(self) -> TrainState:

@@ -6,6 +6,7 @@ evaluation.scorer, vis.overlay together, dataset-free."""
 import os
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -192,3 +193,38 @@ def test_traindata_dataset(tmp_path):
     name, vi, vg = next(iter(it))
     assert vi.shape == (4, 16, 16, 3)
     assert vg.shape == (4, 8, 8, 2)
+
+
+def test_train_multivideo_dp(video_dataset, tmp_path_factory):
+    """videos_per_step=2: both train videos advance in lock-step as one
+    (V=2, S, ...) batch, sharded over a 2-device 'data' mesh."""
+    from iip_uavsal_saliency_tpu.parallel.mesh import make_mesh
+
+    save_dir = str(tmp_path_factory.mktemp("weights_dp"))
+    # put both videos in train.txt for a full group
+    with open(os.path.join(video_dataset, "txt", "train.txt"), "w") as f:
+        f.write("vid_a\nvid_b\n")
+    try:
+        cfg = TrainConfig(
+            method_name="TinyDP",
+            iosize=IOSIZE,
+            time_dims=TIME_DIMS,
+            batch_size=1,
+            epochs=1,
+            bias_type=(1, 0, 1),
+            freeze=(),
+            is_early_stop=False,
+            videos_per_step=2,
+        )
+        trainer = Trainer(
+            cfg, video_dataset, "UAV2", save_dir, ext=".avi",
+            priors_cache_dir=str(tmp_path_factory.mktemp("priors_dp")),
+            mesh=make_mesh(n_data=2, n_spatial=1),
+        )
+        state = trainer.train()
+        assert int(state.step) > 0
+        assert np.all(np.isfinite(np.asarray(
+            jax.tree_util.tree_leaves(state.params)[0])))
+    finally:
+        with open(os.path.join(video_dataset, "txt", "train.txt"), "w") as f:
+            f.write("vid_a\n")
