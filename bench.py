@@ -10,6 +10,12 @@ Prints exactly one JSON line on stdout:
   {"metric": "inference_fps_360x640", "value": N, "unit": "frames/sec",
    "vs_baseline": N}
 Diagnostics go to stderr.
+
+Methodology: steps are chained through the recurrent state (true streaming
+serving); timing encloses the whole loop with one final block_until_ready.
+When the TPU is reached through a remote relay (axon), per-step dispatch
+overhead is included — treat results as a LOWER bound on real-chip
+throughput.
 """
 
 import argparse

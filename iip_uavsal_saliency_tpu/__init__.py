@@ -17,7 +17,7 @@ ISPRS 2022) for TPU hardware:
 Subpackages
 -----------
 ops         core NN primitives (conv/BN/ReLU6 blocks, resize, inits, stats)
-kernels     Pallas TPU kernels for the hot fused ops
+            + Pallas TPU kernels for the hot fused ops (ops/pallas_twa.py)
 models      backbones, SRF-Net, STBlocks, recurrent cells, UAVSal + ablations
 data        letterbox/priors/.mat I/O/video decode/dataset splits
 training    losses, optimizer, train loop (TBPTT over clips), checkpoints

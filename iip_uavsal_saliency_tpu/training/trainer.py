@@ -72,6 +72,7 @@ class TrainConfig:
     max_train_frames: float = float("inf")
     max_val_frames: float = float("inf")
     videos_per_step: int = 1     # >1 enables multi-video data parallelism
+    resume: bool = False         # continue from the latest epoch checkpoint
 
 
 def _masked_loss(loss_fn: Callable):
@@ -301,10 +302,30 @@ class Trainer:
         min_val_loss = float("inf")
         num_patience = 0
         max_patience = cfg.max_patience if cfg.is_early_stop else cfg.epochs + 1
+
+        start_epoch = 0
+        if cfg.resume:
+            latest = latest_checkpoint(self.model_dir, cfg.method_name)
+            if latest:
+                import flax.serialization
+
+                ckpt = load_checkpoint(latest)
+                self.state = TrainState(
+                    params=flax.serialization.from_state_dict(
+                        self.state.params, ckpt["params"]),
+                    batch_stats=flax.serialization.from_state_dict(
+                        self.state.batch_stats, ckpt["batch_stats"]),
+                    opt_state=flax.serialization.from_state_dict(
+                        self.state.opt_state, ckpt["opt_state"]),
+                    step=jnp.asarray(ckpt["step"], jnp.int32),
+                )
+                start_epoch = int(ckpt["epoch"]) + 1
+                log.info("resumed from %s (epoch %d)", latest, start_epoch)
+
         best_params = self.state.params
         best_stats = self.state.batch_stats
 
-        for epoch in range(cfg.epochs):
+        for epoch in range(start_epoch, cfg.epochs):
             t0 = time.time()
             for phase in ("train", "val"):
                 mean_loss = self._run_epoch(phase)

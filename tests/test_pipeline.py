@@ -228,3 +228,25 @@ def test_train_multivideo_dp(video_dataset, tmp_path_factory):
     finally:
         with open(os.path.join(video_dataset, "txt", "train.txt"), "w") as f:
             f.write("vid_a\n")
+
+
+def test_train_resume(trained, video_dataset, tmp_path_factory):
+    """resume=True restores the latest epoch checkpoint and skips completed
+    epochs (SURVEY §5: mid-training resume the reference lacks)."""
+    trainer, state, final = trained
+    cfg = TrainConfig(
+        method_name="TinyUAVSal",
+        iosize=IOSIZE,
+        time_dims=TIME_DIMS,
+        batch_size=1,
+        epochs=1,  # epoch 0 already completed by the `trained` fixture
+        bias_type=(1, 0, 1),
+        freeze=(),
+        is_early_stop=False,
+        resume=True,
+    )
+    save_dir = os.path.dirname(os.path.dirname(final))
+    t2 = Trainer(cfg, video_dataset, "UAV2", save_dir, ext=".avi")
+    s2 = t2.train()
+    # nothing left to run: restored step counter, no new steps taken
+    assert int(s2.step) == int(state.step)
