@@ -7,6 +7,7 @@ the shared dataclass config (utils/config.py) instead of per-script global
 blocks.
 
     python -m iip_uavsal_saliency_tpu train      [--config cfg.json] [--key value ...]
+    python -m iip_uavsal_saliency_tpu train-img  # SALICON SRF-Net pretraining
     python -m iip_uavsal_saliency_tpu test       [--model-path ...]
     python -m iip_uavsal_saliency_tpu eval       [--methods A,B]
     python -m iip_uavsal_saliency_tpu eval-img   [--methods A,B]
@@ -54,6 +55,7 @@ def cmd_train(cfg: Config):
 
     tc = TrainConfig(
         method_name=cfg.method_name,
+        model_name=cfg.model_name,
         cnn_type=cfg.cnn_type,
         iosize=cfg.iosize,
         time_dims=cfg.time_dims,
@@ -84,6 +86,26 @@ def cmd_train(cfg: Config):
         priors_cache_dir=cfg.priors_cache_dir,
     )
     trainer.train()
+
+
+def cmd_train_img(cfg: Config):
+    """SALICON SRF-Net pretraining stage (reference pipeline README.md:60);
+    the resulting checkpoint transplants into the video model via
+    models.transfer_sfnet (or pass it as --model-path to `train`)."""
+    from .training.image_trainer import ImageTrainConfig, train_salicon
+
+    tc = ImageTrainConfig(
+        method_name=f"{cfg.method_name}_srfnet",
+        cnn_type=cfg.cnn_type,
+        batch_size=cfg.batch_size,
+        epochs=cfg.epochs,
+        learning_rate=cfg.learning_rate,
+        weight_decay=cfg.weight_decay,
+        is_early_stop=cfg.is_early_stop,
+        max_patience=cfg.max_patience,
+    )
+    data_root = os.path.join(cfg.data_dir, "salicon-15")
+    train_salicon(tc, data_root, cfg.save_model_dir)
 
 
 def _final_ckpt(cfg: Config) -> str:
@@ -187,6 +209,8 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
 
     if cmd == "train":
         cmd_train(cfg)
+    elif cmd == "train-img":
+        cmd_train_img(cfg)
     elif cmd == "test":
         cmd_test(cfg)
     elif cmd == "eval":

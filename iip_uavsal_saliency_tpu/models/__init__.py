@@ -23,3 +23,4 @@ from .uavsal import (
     MODEL_ZOO,
 )
 from .srfnet_image import SRFNetImage, transfer_sfnet
+from .adapters import ZooModelAdapter, build_adapted_model

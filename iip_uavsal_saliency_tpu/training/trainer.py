@@ -55,6 +55,7 @@ class TrainConfig:
     """Hyperparameters (defaults == reference __main__, Demo_Train_Test.py:283-295)."""
 
     method_name: str = "UAVSal"
+    model_name: str = "uavsal"   # any MODEL_ZOO name (ablations train too)
     cnn_type: str = "mobilenet_v2"
     iosize: Tuple[int, int, int, int] = (360, 640, 45, 80)
     time_dims: int = 5
@@ -125,11 +126,20 @@ class Trainer:
         self.metrics = MetricsLogger(self.model_dir)
 
         shape_r, shape_c, shape_r_out, shape_c_out = config.iosize
-        self.model = UAVSal(
+        from ..models.adapters import build_adapted_model
+        from ..models.uavsal import MODEL_ZOO
+
+        # pass only the kwargs this zoo variant declares (e.g. the SpConv
+        # ablation has no time_dims, the stateless ones no bias_type)
+        want = dict(
             cnn_type=config.cnn_type,
             time_dims=config.time_dims,
             num_stblock=config.num_stblock,
             bias_type=config.bias_type,
+        )
+        fields = {f.name for f in dataclasses.fields(MODEL_ZOO[config.model_name.lower()])}
+        self.model = build_adapted_model(
+            config.model_name, **{k: v for k, v in want.items() if k in fields}
         )
 
         self.gauss = (

@@ -29,6 +29,7 @@ class Config:
 
     # model / training hyperparameters
     method_name: str = "UAVSal"
+    model_name: str = "uavsal"  # any models.MODEL_ZOO name
     cnn_type: str = "mobilenet_v2"
     iosize: Tuple[int, int, int, int] = (360, 640, 45, 80)
     time_dims: int = 5

@@ -250,3 +250,29 @@ def test_train_resume(trained, video_dataset, tmp_path_factory):
     s2 = t2.train()
     # nothing left to run: restored step counter, no new steps taken
     assert int(s2.step) == int(state.step)
+
+
+@pytest.mark.parametrize("model_name", ["uavsal_stblocks", "uavsal_lstm"])
+def test_train_zoo_variant(model_name, video_dataset, tmp_path_factory):
+    """Ablation-zoo variants train through the same Trainer via the
+    ZooModelAdapter (stateless carry dummy; LSTM carries (V,2,...) state)."""
+    save_dir = str(tmp_path_factory.mktemp(f"weights_{model_name}"))
+    cfg = TrainConfig(
+        method_name=f"Tiny_{model_name}",
+        model_name=model_name,
+        iosize=IOSIZE,
+        time_dims=TIME_DIMS,
+        batch_size=1,
+        epochs=1,
+        bias_type=(1, 0, 1),
+        freeze=(),
+        is_early_stop=False,
+    )
+    trainer = Trainer(
+        cfg, video_dataset, "UAV2", save_dir, ext=".avi",
+        priors_cache_dir=str(tmp_path_factory.mktemp(f"priors_{model_name}")),
+    )
+    state = trainer.train()
+    assert int(state.step) > 0
+    leaf = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
+    assert np.all(np.isfinite(leaf))
