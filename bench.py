@@ -62,6 +62,8 @@ def main():
     v = args.videos
 
     twa_pallas = {"auto": None, "pallas": True, "xla": False}[args.twa]
+    if twa_pallas and args.dtype != "bf16":
+        log("WARNING: --twa pallas needs --dtype bf16; the XLA scan will run instead")
     model = UAVSal(time_dims=args.time_dims, twa_pallas=twa_pallas)
     rng = np.random.RandomState(0)
     x_u8 = jnp.asarray(rng.randint(0, 255, (v, s, h, w, 3), np.uint8))

@@ -35,14 +35,15 @@ def _split_cli(argv: Sequence[str]):
     rest: List[str] = []
     i = 0
     while i < len(argv):
-        if argv[i] == "--config":
-            cfg_path = argv[i + 1]
-            i += 2
-        elif argv[i] == "--methods":
-            methods = argv[i + 1].split(",")
-            i += 2
-        elif argv[i] == "--model-path":
-            rest += ["--pre_model_path", argv[i + 1]]
+        if argv[i] in ("--config", "--methods", "--model-path"):
+            if i + 1 >= len(argv):
+                raise SystemExit(f"flag {argv[i]} needs a value")
+            if argv[i] == "--config":
+                cfg_path = argv[i + 1]
+            elif argv[i] == "--methods":
+                methods = argv[i + 1].split(",")
+            else:
+                rest += ["--pre_model_path", argv[i + 1]]
             i += 2
         else:
             rest.append(argv[i])
@@ -69,6 +70,8 @@ def cmd_train(cfg: Config):
         max_patience=cfg.max_patience,
         is_best_only=cfg.is_best_only,
         shuffle_train=cfg.shuffle_train,
+        videos_per_step=cfg.videos_per_step,
+        resume=cfg.resume,
     )
     pre_vars = None
     if cfg.pre_model_path:
@@ -222,7 +225,12 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     elif cmd == "modelsize":
         cmd_modelsize(cfg)
     elif cmd == "pipeline":  # reference: Demo_Train_Test.py:283-303
+        import dataclasses
+
         cmd_train(cfg)
+        # downstream stages must use the just-trained final checkpoint, not
+        # the warm-start weights pre_model_path pointed at
+        cfg = dataclasses.replace(cfg, pre_model_path="")
         cmd_test(cfg)
         cmd_eval(cfg, methods)
         cmd_vis(cfg, methods)

@@ -77,7 +77,10 @@ def load_salicon_example(
         raise RuntimeError("OpenCV (cv2) required for image decode")
     in_h, in_w, out_h, out_w = iosize
 
-    img = cv2.imread(img_path, cv2.IMREAD_COLOR)[:, :, ::-1]  # BGR -> RGB
+    img = cv2.imread(img_path, cv2.IMREAD_COLOR)
+    if img is None:
+        raise IOError(f"unreadable image: {img_path}")
+    img = img[:, :, ::-1]  # BGR -> RGB
     img = cv2.resize(img, (in_w, in_h), interpolation=cv2.INTER_LINEAR)
     img = img.astype(np.float32) / 255.0
     if normalize:
@@ -149,8 +152,9 @@ def salicon_batches(
         try:
             for idx in batches:
                 q.put(make_batch(idx))
-        finally:
             q.put(stop)
+        except BaseException as e:  # noqa: BLE001 — re-raised in consumer
+            q.put(e)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
@@ -158,4 +162,6 @@ def salicon_batches(
         item = q.get()
         if item is stop:
             break
+        if isinstance(item, BaseException):
+            raise item
         yield item

@@ -34,6 +34,8 @@ VIDEO_EXTS = (".avi", ".AVI", ".mp4")
 
 
 def _prefetched(items: Sequence, load: Callable, prefetch: int) -> Iterator:
+    """Background-decoded iterator. Producer exceptions are re-raised in the
+    consumer (a dead thread must not look like a clean end-of-dataset)."""
     q: "queue.Queue" = queue.Queue(maxsize=max(1, prefetch))
     stop = object()
 
@@ -41,14 +43,17 @@ def _prefetched(items: Sequence, load: Callable, prefetch: int) -> Iterator:
         try:
             for it in items:
                 q.put(load(it))
-        finally:
             q.put(stop)
+        except BaseException as e:  # noqa: BLE001 — forwarded to consumer
+            q.put(e)
 
     threading.Thread(target=producer, daemon=True).start()
     while True:
         item = q.get()
         if item is stop:
             break
+        if isinstance(item, BaseException):
+            raise item
         yield item
 
 

@@ -45,7 +45,9 @@ class ZooModelAdapter:
     def init_state(self, height: int, width: int, n_videos: int = 1, dtype=jnp.float32):
         if self.kind == "stateful":
             return self.model.init_state(height, width, n_videos, dtype)
-        return jnp.zeros((n_videos, 1), dtype)  # jit-friendly dummy carry
+        # jit-friendly dummy carry; rank-4 (V, 8, 8, 1) so the mesh-sharded
+        # steps' rank-4 (data, spatial, ., .) state sharding still applies
+        return jnp.zeros((n_videos, 8, 8, 1), dtype)
 
     def _call_args(self, x, gauss, ob, state):
         if self.kind == "stateful":

@@ -124,11 +124,6 @@ _RESNET_LAYER_COUNTS = {
 _RESNET_BOTTLENECK = ("resnet50", "resnet101", "resnet152")
 
 
-def _conv_bn_pair(sd, conv_key, bn_key) -> Tuple[Params, Stats]:
-    """ConvBNAct tree from separately-named torch conv/bn modules."""
-    return _conv_bn(sd, conv_key, bn_key)
-
-
 def convert_resnet_backbone(sd: Mapping[str, Any], name_id: str = "resnet50",
                             prefix: str = "") -> Tuple[Params, Stats]:
     """torchvision resnet state_dict -> our ResNetPyramid tree

@@ -209,8 +209,9 @@ class UAVSal(nn.Module):
 
         ho, wo = x.shape[1], x.shape[2]
         x = x.reshape(v, s, ho, wo, self.planes)
-        # batched ConvTWA: sequential in S, parallel over V; on TPU (bf16)
-        # it runs the fused VMEM-resident Pallas scan (ops/pallas_twa.py)
+        # batched ConvTWA: sequential in S, parallel over V. Default is the
+        # XLA scan (measured faster); twa_pallas=True opts into the fused
+        # VMEM-resident Pallas scan (ops/pallas_twa.py, TPU + bf16 only)
         rnn = ConvTWA(self.planes, 3, use_bias=False,
                       use_pallas=self.twa_pallas, name="rnn")
         x, new_state = rnn(x, state)

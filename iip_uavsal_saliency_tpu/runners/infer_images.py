@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..data.images import load_salicon_example, salicon_file_lists
+from ..data.images import salicon_file_lists
 from ..data.letterbox import im2uint8
 from ..utils.logging import get_logger
 
@@ -60,14 +60,23 @@ def test_images(
         names.clear()
         sizes.clear()
 
+    from ..data.letterbox import IMAGENET_MEAN, IMAGENET_STD
+
+    in_h, in_w = iosize[0], iosize[1]
+    mean = np.asarray(IMAGENET_MEAN, np.float32)
+    std = np.asarray(IMAGENET_STD, np.float32)
+
     done = 0
     for img_path in imgs:
         name = os.path.splitext(os.path.basename(img_path))[0]
         out_file = os.path.join(output_path, name + ".png")
         if os.path.exists(out_file):  # resumable
             continue
-        raw = cv2.imread(img_path, cv2.IMREAD_COLOR)
-        x, _ = load_salicon_example(img_path, None, None, iosize)
+        raw = cv2.imread(img_path, cv2.IMREAD_COLOR)  # single decode
+        if raw is None:
+            raise IOError(f"unreadable image: {img_path}")
+        x = cv2.resize(raw[:, :, ::-1], (in_w, in_h), interpolation=cv2.INTER_LINEAR)
+        x = (x.astype(np.float32) / 255.0 - mean) / std
         batch.append(x)
         names.append(name)
         sizes.append(raw.shape[:2])

@@ -105,12 +105,15 @@ def train_salicon(
         train_loss = total / max(n, 1)
 
         n, total = 0, 0.0
+        # per-example accounting so the (kept) ragged tail batch isn't
+        # over-weighted; drop_last=True here would silently zero val_loss on
+        # val sets smaller than batch_size and corrupt early stopping
         for x, y in salicon_batches(
-            data_root, "val", config.iosize, config.batch_size, drop_last=True
+            data_root, "val", config.iosize, config.batch_size, drop_last=False
         ):
-            total += float(eval_step(params, batch_stats, jnp.asarray(x), jnp.asarray(y)))
-            n += 1
-        val_loss = total / max(n, 1)
+            total += float(eval_step(params, batch_stats, jnp.asarray(x), jnp.asarray(y))) * x.shape[0]
+            n += x.shape[0]
+        val_loss = total / n if n else float("inf")
         log.info(
             "epoch %02d: train %.4f val %.4f (%.1fs)",
             epoch, train_loss, val_loss, time.time() - t0,

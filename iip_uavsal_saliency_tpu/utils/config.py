@@ -46,6 +46,8 @@ class Config:
     is_best_only: bool = False
     shuffle_train: bool = True
     num_workers: int = 4
+    videos_per_step: int = 1   # >1: multi-video data-parallel training
+    resume: bool = False       # continue from the latest epoch checkpoint
 
     @property
     def ext(self) -> str:

@@ -41,3 +41,15 @@ def test_metrics_logger(tmp_path):
     lines = [json.loads(l) for l in open(path)]
     assert lines[0]["tag"] == "train/loss" and lines[0]["step"] == 0
     assert lines[1]["value"] == 2.0 and "step" not in lines[1]
+
+
+def test_split_cli_missing_value():
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        _split_cli(["--model-path"])
+
+
+def test_config_resume_and_videos_flags():
+    cfg = load_config(None, ["--resume", "true", "--videos_per_step", "2"])
+    assert cfg.resume is True and cfg.videos_per_step == 2

@@ -135,3 +135,32 @@ def test_graft_entry_dryrun():
     out_shape = jax.eval_shape(fn, *args)
     assert out_shape[0].shape == (1, 5, 45, 80, 1)
     ge.dryrun_multichip(8)
+
+
+def test_zoo_adapter_train_step_on_mesh():
+    """Stateless zoo variants must train under mesh shardings (the dummy
+    carry is rank-4 so the state PartitionSpec applies)."""
+    from iip_uavsal_saliency_tpu.models import init_variables
+    from iip_uavsal_saliency_tpu.models.adapters import build_adapted_model
+
+    model = build_adapted_model("uavsal_stblocks", time_dims=T)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(2, T, H, W, 3).astype(np.float32))
+    s = model.init_state(H, W, 2)
+    y = jnp.asarray((rng.rand(2, T, HO, WO, 2) > 0.7).astype(np.float32))
+    variables = init_variables(model, jax.random.PRNGKey(0), x, None, None, s)
+
+    mesh = make_mesh(n_data=2, n_spatial=1)
+    tx = make_optimizer(1e-3, 0.0)
+    st = jax.device_put(create_train_state(variables, tx), replicated(mesh))
+    step = make_train_step(model, tx, mesh=mesh, donate=False)
+    _, loss, new_s = step(
+        st,
+        jax.device_put(x, data_sharding(mesh, 5)),
+        None,
+        None,
+        jax.device_put(s, data_sharding(mesh, 4)),
+        jax.device_put(y, data_sharding(mesh, 5)),
+    )
+    assert np.isfinite(float(loss))
+    assert new_s.shape == s.shape
