@@ -127,6 +127,8 @@ def cmd_test(cfg: Config):
         num_stblock=cfg.num_stblock,
         bias_type=cfg.bias_type,
     )
+    import jax.numpy as jnp
+
     test_videos(
         cfg.test_input_path,
         cfg.test_output_path,
@@ -140,6 +142,8 @@ def cmd_test(cfg: Config):
         dataset=cfg.train_dataset,
         priors_cache_dir=cfg.priors_cache_dir,
         method_name=cfg.method_name,
+        videos_per_batch=cfg.videos_per_batch,
+        compute_dtype=jnp.bfloat16 if cfg.serve_bf16 else None,
     )
 
 

@@ -75,8 +75,16 @@ def test_videos(
     dataset: str = "",
     priors_cache_dir: str = "",
     method_name: Optional[str] = None,
+    videos_per_batch: int = 1,
+    compute_dtype=None,
 ) -> None:
-    """Run saliency prediction over every video in `input_path`."""
+    """Run saliency prediction over every video in `input_path`.
+
+    `videos_per_batch > 1` streams V videos in lock-step through the model's
+    V axis (bench: +~20% chip throughput at V=4); shorter videos in a group
+    are right-padded with repeated frames and their padding sliced off on
+    the host. `compute_dtype=jnp.bfloat16` selects the bf16 serving path.
+    """
     if method_name:
         output_path = os.path.join(output_path, method_name)
     os.makedirs(output_path, exist_ok=True)
@@ -95,45 +103,77 @@ def test_videos(
         if bias_type[1]
         else None
     )
+    if compute_dtype is not None:
+        cast = lambda a: a.astype(compute_dtype) if a is not None else None  # noqa: E731
+        variables = jax.tree_util.tree_map(
+            lambda a: a.astype(compute_dtype) if a.dtype == jnp.float32 else a, variables
+        )
+        gauss, ob = cast(gauss), cast(ob)
 
-    infer_step = make_infer_step(model)
+    infer_step = make_infer_step(model, compute_dtype=compute_dtype)
     params, batch_stats = variables["params"], variables.get("batch_stats", {})
 
-    file_names = sorted(f for f in os.listdir(input_path) if f.endswith(VIDEO_EXTS))
+    file_names = [
+        f for f in sorted(os.listdir(input_path)) if f.endswith(VIDEO_EXTS)
+        # resumable (reference: Demo_Test.py:60-62)
+        and not os.path.exists(os.path.join(output_path, os.path.splitext(f)[0] + ".mat"))
+    ]
     s = batch_size * time_dims
+    v_per = max(1, videos_per_batch)
 
-    for idx, name in enumerate(file_names):
-        out_file = os.path.join(output_path, os.path.splitext(name)[0] + ".mat")
-        if os.path.exists(out_file):  # resumable (reference: Demo_Test.py:60-62)
-            continue
-        log.info("%d/%d %s", idx + 1, len(file_names), name)
+    for g0 in range(0, len(file_names), v_per):
+        group = file_names[g0 : g0 + v_per]
+        log.info("videos %d-%d/%d: %s", g0 + 1, g0 + len(group), len(file_names), group)
         t0 = time.time()
 
-        vidimgs, nframes, height, width = preprocess_videos(
-            os.path.join(input_path, name), shape_r, shape_c, save_frames,
-            mode="RGB", normalize=False,
-        )
-        count_bs = nframes // time_dims
-        total = count_bs * time_dims
-        vidimgs = vidimgs[:total]
-
-        state = model.init_state(shape_r, shape_c, 1)
-        sal = np.zeros((total, shape_r_out, shape_c_out), np.float32)
-        for start in range(0, total, s):
-            clip = vidimgs[start : start + s]
-            n_valid = clip.shape[0]
-            if n_valid < s:
-                clip = np.concatenate([clip, np.repeat(clip[-1:], s - n_valid, 0)], 0)
-            out, state = infer_step(
-                params, batch_stats, jnp.asarray(clip)[None], gauss, ob, state
+        decoded = []
+        for name in group:
+            vidimgs, nframes, height, width = preprocess_videos(
+                os.path.join(input_path, name), shape_r, shape_c, save_frames,
+                mode="RGB", normalize=False,
             )
-            sal[start : start + n_valid] = np.asarray(out)[0, :n_valid, :, :, 0]
+            total = (nframes // time_dims) * time_dims
+            decoded.append((name, vidimgs[:total], total, height, width))
 
-        pred_mat = np.zeros((height, width, 1, total), np.uint8)
-        for t in range(total):
-            pred_mat[:, :, 0, t] = im2uint8(postprocess_prediction(sal[t], height, width))
+        v = len(decoded)
+        max_total = max(d[2] for d in decoded)
+        state = model.init_state(shape_r, shape_c, v)
+        if compute_dtype is not None:
+            state = state.astype(compute_dtype)
+        sals = [
+            np.zeros((d[2], shape_r_out, shape_c_out), np.float32) for d in decoded
+        ]
 
-        keep = int(min(total, save_frames))
-        savemat(out_file, {"salmap": pred_mat[:, :, :, :keep]})
-        fps = total / max(time.time() - t0, 1e-9)
-        log.info("  %d frames in %.2fs (%.1f FPS end-to-end)", total, time.time() - t0, fps)
+        for start in range(0, max_total, s):
+            clip = np.zeros((v, s) + decoded[0][1].shape[1:], np.uint8)
+            for i, (_, imgs, total, _, _) in enumerate(decoded):
+                if total == 0:  # too short for one clip: stays zeros
+                    continue
+                chunk = imgs[start : start + s]
+                if chunk.shape[0] == 0:  # exhausted video: repeat last frame
+                    chunk = np.repeat(imgs[-1:], s, 0)
+                elif chunk.shape[0] < s:
+                    chunk = np.concatenate(
+                        [chunk, np.repeat(chunk[-1:], s - chunk.shape[0], 0)], 0
+                    )
+                clip[i] = chunk
+            out, state = infer_step(params, batch_stats, jnp.asarray(clip), gauss, ob, state)
+            out = np.asarray(out, np.float32)
+            for i, (_, _, total, _, _) in enumerate(decoded):
+                n_valid = min(s, max(0, total - start))
+                if n_valid:
+                    sals[i][start : start + n_valid] = out[i, :n_valid, :, :, 0]
+
+        for (name, _, total, height, width), sal in zip(decoded, sals):
+            pred_mat = np.zeros((height, width, 1, total), np.uint8)
+            for t in range(total):
+                pred_mat[:, :, 0, t] = im2uint8(
+                    postprocess_prediction(sal[t], height, width)
+                )
+            keep = int(min(total, save_frames))
+            out_file = os.path.join(output_path, os.path.splitext(name)[0] + ".mat")
+            savemat(out_file, {"salmap": pred_mat[:, :, :, :keep]})
+
+        frames = sum(d[2] for d in decoded)
+        fps = frames / max(time.time() - t0, 1e-9)
+        log.info("  %d frames in %.2fs (%.1f FPS end-to-end)", frames, time.time() - t0, fps)

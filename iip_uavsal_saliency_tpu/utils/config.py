@@ -48,6 +48,8 @@ class Config:
     num_workers: int = 4
     videos_per_step: int = 1   # >1: multi-video data-parallel training
     resume: bool = False       # continue from the latest epoch checkpoint
+    videos_per_batch: int = 1  # >1: batched multi-video inference
+    serve_bf16: bool = True    # bf16 serving path for `test` (f32: parity)
 
     @property
     def ext(self) -> str:

@@ -276,3 +276,27 @@ def test_train_zoo_variant(model_name, video_dataset, tmp_path_factory):
     assert int(state.step) > 0
     leaf = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
     assert np.all(np.isfinite(leaf))
+
+
+def test_infer_batched_matches_single(trained, video_dataset, tmp_path_factory):
+    """videos_per_batch=2 must produce byte-identical .mat outputs to the
+    per-video path (padding frames never leak into kept outputs)."""
+    trainer, state, final = trained
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    res1 = str(tmp_path_factory.mktemp("R1"))
+    res2 = str(tmp_path_factory.mktemp("R2"))
+    common = dict(
+        iosize=IOSIZE, batch_size=1, time_dims=TIME_DIMS, bias_type=(1, 0, 1),
+        method_name="M",
+    )
+    run_test_videos(video_dataset + "/Videos", res1, trainer.model, variables, **common)
+    run_test_videos(
+        video_dataset + "/Videos", res2, trainer.model, variables,
+        videos_per_batch=2, **common,
+    )
+    for vid in ("vid_a", "vid_b"):
+        a = loadmat(os.path.join(res1, "M", vid + ".mat"), "salmap")
+        b = loadmat(os.path.join(res2, "M", vid + ".mat"), "salmap")
+        # batching V changes conv reduction order -> rare +/-1 uint8 jitter
+        diff = np.abs(a.astype(np.int16) - b.astype(np.int16))
+        assert diff.max() <= 1 and (diff > 0).mean() < 1e-3, vid
