@@ -120,3 +120,17 @@ def test_evalscores_img_roundtrip(salicon_root, tmp_path):
     means = mean_scores_img(res_dir, [method])
     assert 0.0 <= means[method]["AUC_Judd"] <= 1.0
     assert means[method]["CC"] > 0.3  # noisy copy of GT correlates
+
+def test_visual_img(salicon_root, tmp_path):
+    """Image overlay exporter (reference: utils_vis.py:59-101)."""
+    from iip_uavsal_saliency_tpu.vis.overlay import visual_img
+
+    val_dir = os.path.join(salicon_root, "val")
+    sals = str(tmp_path / "Saliency")
+    os.makedirs(os.path.join(sals, "M"), exist_ok=True)
+    rng = np.random.RandomState(0)
+    for f in sorted(os.listdir(os.path.join(val_dir, "maps"))):
+        cv2.imwrite(os.path.join(sals, "M", f), rng.randint(0, 255, (32, 48), np.uint8))
+    visual_img(val_dir, sals, ["M"])
+    out = os.path.join(sals, "M", "Visual_color")
+    assert len(os.listdir(out)) == 3

@@ -300,3 +300,22 @@ def test_infer_batched_matches_single(trained, video_dataset, tmp_path_factory):
         # batching V changes conv reduction order -> rare +/-1 uint8 jitter
         diff = np.abs(a.astype(np.int16) - b.astype(np.int16))
         assert diff.max() <= 1 and (diff > 0).mean() < 1e-3, vid
+
+
+def test_visual_vid_frames(trained, video_dataset, tmp_path_factory):
+    """Per-frame PNG exporter (reference: Tools/visualization_vid_frame.py)."""
+    from iip_uavsal_saliency_tpu.vis.overlay import visual_vid_frames
+
+    trainer, state, _ = trained
+    res = str(tmp_path_factory.mktemp("Rf"))
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    run_test_videos(
+        video_dataset + "/Videos", os.path.join(res, "Saliency"), trainer.model,
+        variables, iosize=IOSIZE, batch_size=1, time_dims=TIME_DIMS,
+        bias_type=(1, 0, 1), method_name="M",
+    )
+    visual_vid_frames(video_dataset, res, "UAV2", ["M"], frame_indices=(0, 3))
+    out = os.path.join(res, "Saliency", "M", "Visual_frames")
+    assert sorted(os.listdir(out)) == [
+        "vid_a_f00000.png", "vid_a_f00003.png", "vid_b_f00000.png", "vid_b_f00003.png",
+    ]
