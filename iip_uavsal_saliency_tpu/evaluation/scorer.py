@@ -495,11 +495,17 @@ def mean_scores(
     sal_dir: str,
     method_names: Sequence[str],
     keys_order: Sequence[str] = KEYS_ORDER,
+    save: bool = True,
 ) -> Dict[str, Dict[str, float]]:
     """Dataset-mean scores per method — NaN-masked per-video frame means then
-    video means (replaces reference Tools/Vid_MeanScore.m:49-57)."""
+    video means (replaces reference Tools/Vid_MeanScore.m:49-57). With
+    `save`, writes `Scores/MeanScores.json` and a `(M, K)` matrix to
+    `Scores/MeanScores.mat` (methods in `method_names` order)."""
+    import json
+
     score_dir = os.path.join(sal_dir, "Scores")
     out: Dict[str, Dict[str, float]] = {}
+    rows = []
     for method in method_names:
         iscore_dir = os.path.join(score_dir, method)
         per_video = []
@@ -510,6 +516,11 @@ def mean_scores(
             with np.errstate(invalid="ignore"):
                 per_video.append(np.nanmean(iscores, axis=0))
         means = np.nanmean(np.stack(per_video), axis=0) if per_video else np.full(len(keys_order), np.nan)
+        rows.append(means)
         out[method] = {k: float(means[i]) for i, k in enumerate(keys_order)}
         log.info("%s: %s", method, {k: round(v, 4) for k, v in out[method].items()})
+    if save:
+        with open(os.path.join(score_dir, "MeanScores.json"), "w") as f:
+            json.dump({"keys_order": list(keys_order), "methods": out}, f, indent=2)
+        savemat(os.path.join(score_dir, "MeanScores.mat"), {"meanscores": np.stack(rows)})
     return out

@@ -143,6 +143,9 @@ def test_infer_eval_vis(trained, video_dataset, tmp_path_factory):
     assert iscore.shape == (NFRAMES, 7)
     means = mean_scores(res_dir, ["TinyUAVSal"])
     assert 0.0 <= means["TinyUAVSal"]["AUC_Judd"] <= 1.0
+    mm = loadmat(os.path.join(res_dir, "Scores", "MeanScores.mat"), "meanscores")
+    assert mm.shape == (1, 7)
+    assert os.path.exists(os.path.join(res_dir, "Scores", "MeanScores.json"))
 
     # sum-shufmap variant
     evalscores_vid_sum(
