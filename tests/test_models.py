@@ -174,3 +174,67 @@ def test_ablation_zoo_forward(name, needs_priors, needs_state, extra):
     y = out[0] if isinstance(out, tuple) else out
     expected = (1, T, HO, WO, 1) if needs_state else (T, HO, WO, 1)
     assert y.shape == expected
+
+
+def _naive_gate_conv(x_t, h_prev, k):
+    from jax import lax
+
+    comb = np.concatenate([np.asarray(x_t), np.asarray(h_prev)], -1)[None]
+    z = lax.conv_general_dilated(
+        jnp.asarray(comb), jnp.asarray(k), (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return np.asarray(z)[0]
+
+
+def test_conv_lstm_matches_naive_loop():
+    """Split-gate LSTM scan == naive 4-gate concat-conv recurrence
+    (reference formulas: model_convlstm.py:96-112)."""
+    rng = np.random.RandomState(3)
+    ch = 6
+    cell = ConvLSTM(hidden_dim=ch)
+    x = jnp.asarray(rng.randn(4, 5, 5, ch).astype(np.float32) * 0.5)
+    s0 = jnp.zeros((2, 5, 5, ch))
+    v = cell.init(jax.random.PRNGKey(0), x, s0)
+    ys, s_last = cell.apply(v, x, s0)
+
+    k = np.asarray(v["params"]["kernel"])
+    h = np.zeros((5, 5, ch), np.float32)
+    c = np.zeros((5, 5, ch), np.float32)
+    outs = []
+    for t in range(4):
+        z = _naive_gate_conv(x[t], h, k)
+        ci, cf, co, cg = np.split(z, 4, axis=-1)
+        sig = lambda a: 1 / (1 + np.exp(-a))
+        i, f, o, g = sig(ci), sig(cf), sig(co), np.tanh(cg)
+        c = f * c + i * g
+        h = o * np.tanh(c)
+        outs.append(h)
+    np.testing.assert_allclose(np.asarray(ys), np.stack(outs), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(s_last[0]), outs[-1], rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(s_last[1]), c, rtol=2e-4, atol=2e-5)
+
+
+def test_conv_simgru_matches_naive_loop():
+    """2-gate SimGRU scan == naive recurrence
+    (reference formulas: model_convlstm.py:589-600)."""
+    rng = np.random.RandomState(4)
+    ch = 6
+    cell = ConvSimGRU(hidden_dim=ch)
+    x = jnp.asarray(rng.randn(3, 4, 4, ch).astype(np.float32) * 0.5)
+    s0 = jnp.zeros((4, 4, ch))
+    v = cell.init(jax.random.PRNGKey(0), x, s0)
+    ys, s_last = cell.apply(v, x, s0)
+
+    k = np.asarray(v["params"]["kernel"])
+    h = np.zeros((4, 4, ch), np.float32)
+    outs = []
+    for t in range(3):
+        z = _naive_gate_conv(x[t], h, k)
+        ci, cg = np.split(z, 2, axis=-1)
+        i = 1 / (1 + np.exp(-ci))
+        g = np.tanh(cg)
+        h = i * g + (1 - i) * h
+        outs.append(h)
+    np.testing.assert_allclose(np.asarray(ys), np.stack(outs), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(s_last), outs[-1], rtol=2e-4, atol=2e-5)
