@@ -91,3 +91,17 @@ def test_supports_pallas_gate():
     assert supports_pallas((1, 20, 45, 80, 256), jnp.bfloat16)
     assert not supports_pallas((1, 20, 45, 80, 256), jnp.float32)  # bf16 only
     assert not supports_pallas((1, 20, 17, 80, 256), jnp.bfloat16)  # prime H > 16
+
+
+def test_pallas_bf16_close_to_xla_f32():
+    """The bf16 serving path (what runs on TPU) stays within bf16 tolerance
+    of the f32 XLA recurrence."""
+    x, gx, w_h, h0 = _case(h=10, seed=21)
+    to_bf = lambda a: a.astype(jnp.bfloat16)  # noqa: E731
+    ys_p, _ = twa_scan_pallas(
+        to_bf(x), to_bf(gx), to_bf(w_h), to_bf(h0), interpret=True
+    )
+    ys_x, _ = twa_scan_xla(x, gx, w_h, h0)
+    np.testing.assert_allclose(
+        np.asarray(ys_p, np.float32), np.asarray(ys_x), rtol=0.1, atol=0.05
+    )
