@@ -46,20 +46,29 @@ def eval_sim(y_pred, y_true):
 
 def eval_auc_judd(y_pred, y_true, jitter_key=None):
     """Batched AUC-Judd. Returns NaN for frames with no fixations or an
-    all-zero saliency map, matching reference utils_score_torch.py:54-55."""
+    all-zero saliency map, matching reference utils_score_torch.py:54-55.
+
+    `jitter_key` breaks ties uniformly at random — the exact infinitesimal
+    limit of the reference's `+ rand()*1e-7` (utils_score_torch.py:79,
+    utils_score.py:54-56). An additive 1e-7 would be swallowed by f32 on
+    0..255-scale salmaps (f32 eps at 255 is ~1.5e-5), so instead the
+    descending sort uses a random uniform as the secondary lexsort key:
+    tied pixels are ordered uniformly at random, which is distribution-
+    identical to jittering before the sort."""
     n, h, w, _ = y_pred.shape
     s = y_pred.reshape(n, h * w)
     f = (y_true[..., 1] > 0.5).reshape(n, h * w)
-
-    if jitter_key is not None:
-        s = s + jax.random.uniform(jitter_key, s.shape) * 1e-7
 
     smin = jnp.min(s, axis=1, keepdims=True)
     smax = jnp.max(s, axis=1, keepdims=True)
     s = (s - smin) / (smax - smin + EPS)
 
     # descending sort; carry the fixation indicator along
-    order = jnp.argsort(-s, axis=1)
+    if jitter_key is not None:
+        u = jax.random.uniform(jitter_key, s.shape)
+        order = jnp.lexsort((u, -s), axis=-1)
+    else:
+        order = jnp.argsort(-s, axis=1)
     f_sorted = jnp.take_along_axis(f, order, axis=1)
 
     n_fix = jnp.sum(f, axis=1)

@@ -61,15 +61,21 @@ SHUFF_SIZE = {
 
 
 @partial(jax.jit, static_argnames=())
-def _device_metrics(pred, true):
-    """One fused batched pass: KLD, CC, NSS, SIM, AUC-Judd."""
+def _device_metrics(pred, true, jitter_key):
+    """One fused batched pass: KLD, CC, NSS, SIM, AUC-Judd. `jitter_key`
+    randomly breaks AUC-Judd ties — real salmaps are uint8 and massively
+    tied, and the reference always jitters (utils_score_torch.py:76-79)."""
     return (
         eval_kl(pred, true),
         eval_cc(pred, true),
         eval_nss(pred, true),
         eval_sim(pred, true),
-        eval_auc_judd(pred, true),
+        eval_auc_judd(pred, true, jitter_key=jitter_key),
     )
+
+
+def _jitter_key(rng: np.random.RandomState):
+    return jax.random.PRNGKey(int(rng.randint(0, 2**31 - 1)))
 
 
 def collect_all_fixations(fixs_dir: str, dataset: str = "", maxframes: float = float("inf")):
@@ -173,7 +179,7 @@ def _score_video(salmap, fixmap, fixpts, all_fix_pts, keys_order, batch_size, rn
     for b in range(0, nframes, batch_size):
         p = jnp.asarray(pred[b : b + batch_size])
         t = jnp.asarray(true[b : b + batch_size])
-        r = _device_metrics(p, t)
+        r = _device_metrics(p, t, _jitter_key(rng))
         kl.append(np.asarray(r[0]))
         cc.append(np.asarray(r[1]))
         nss.append(np.asarray(r[2]))
@@ -359,7 +365,9 @@ def _score_image(salmap, fixmap, fixpts, keys_order, shufmap, rng):
     true = jnp.asarray(
         np.stack([fixmap, fixpts], axis=-1)[None].astype(np.float32)
     )
-    kl, cc, nss, sim, aucj = (np.asarray(a)[0] for a in _device_metrics(pred, true))
+    kl, cc, nss, sim, aucj = (
+        np.asarray(a)[0] for a in _device_metrics(pred, true, _jitter_key(rng))
+    )
     device_vals = {"KLD": kl, "CC": cc, "NSS": nss, "SIM": sim, "AUC_Judd": aucj}
     row = np.zeros(len(keys_order))
     for k, key in enumerate(keys_order):

@@ -107,3 +107,39 @@ def loss_ml(y_pred, y_true):
     t = y_true[..., 0:1]
     p = y_pred / (_max_hw(y_pred) + EPS)
     return jnp.mean((p - t) * (p - t) / (1.0 - t + 0.1))
+
+
+# --------------------------------------------------------------------------- #
+# Per-frame forms: (N, H, W, C) -> (N,). Each satisfies
+# loss_x(pred, true) == mean(per_frame_x(pred, true)), so a trainer can
+# reweight frames (padding masks) and still reduce to the exact same scalar
+# on full clips.
+
+def per_frame_fu(y_pred, y_true):
+    return (
+        10.0 * metric_kl(y_pred, y_true)
+        - 2.0 * metric_cc(y_pred, y_true)
+        - metric_nss(y_pred, y_true)
+    )
+
+
+def per_frame_kl(y_pred, y_true):
+    return 10.0 * metric_kl(y_pred, y_true)
+
+
+def per_frame_ml(y_pred, y_true):
+    t = y_true[..., 0:1]
+    p = y_pred / (_max_hw(y_pred) + EPS)
+    return jnp.mean((p - t) * (p - t) / (1.0 - t + 0.1), axis=(1, 2, 3))
+
+
+# loss_fu_dy is loss_fu after flattening (V,S) — trainers flatten before the
+# loss call, so its per-frame form is per_frame_fu.
+PER_FRAME = {
+    loss_fu: per_frame_fu,
+    loss_fu_dy: per_frame_fu,
+    loss_kl: per_frame_kl,
+    loss_ml: per_frame_ml,
+}
+
+LOSSES = {"fu": loss_fu, "fu_dy": loss_fu_dy, "kl": loss_kl, "ml": loss_ml}

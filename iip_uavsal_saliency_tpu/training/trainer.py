@@ -44,7 +44,6 @@ from ..models import UAVSal
 from ..parallel.steps import TrainState, create_train_state, make_eval_step, make_train_step
 from ..utils.logging import get_logger
 from .checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
-from .losses import loss_fu
 from .optim import make_frozen_mask, make_optimizer
 
 log = get_logger("trainer")
@@ -74,23 +73,27 @@ class TrainConfig:
     max_val_frames: float = float("inf")
     videos_per_step: int = 1     # >1 enables multi-video data parallelism
     resume: bool = False         # continue from the latest epoch checkpoint
+    loss_name: str = "fu"        # any training.losses.LOSSES key
 
 
 def _masked_loss(loss_fn: Callable):
-    """Composite loss over (pred, [true | validity-mask]) that ignores
-    right-padded frames — the per-frame terms are reweighted by the mask, so
-    one compiled program serves full and ragged clips alike."""
-    del loss_fn  # the composite weights are fixed (10*KL - 2*CC - NSS)
+    """Masked form of `loss_fn` over (pred, [true | validity-mask]): the
+    per-frame terms of the passed loss are reweighted by the mask so
+    right-padded frames contribute nothing — one compiled program serves full
+    and ragged clips alike, and on full clips the result equals
+    `loss_fn(pred, true)` exactly (see losses.PER_FRAME)."""
+    from .losses import PER_FRAME
 
-    from .losses import metric_cc, metric_kl, metric_nss
+    per_frame = PER_FRAME.get(loss_fn)
+    if per_frame is None:
+        raise ValueError(
+            f"no per-frame form registered for {loss_fn!r}; "
+            f"add it to training.losses.PER_FRAME"
+        )
 
     def fn(pred, true_and_mask):
         true, mask = true_and_mask[..., :2], true_and_mask[..., 2]
-        per = (
-            10.0 * metric_kl(pred, true)
-            - 2.0 * metric_cc(pred, true)
-            - metric_nss(pred, true)
-        )
+        per = per_frame(pred, true)
         w = (mask[:, 0, 0] > 0.5).astype(per.dtype)
         return jnp.sum(per * w) / jnp.maximum(jnp.sum(w), 1.0)
 
@@ -177,10 +180,13 @@ class Trainer:
         )
         self.state = create_train_state(variables, self.tx)
 
+        from .losses import LOSSES
+
+        loss = LOSSES[config.loss_name]
         self.train_step = make_train_step(
-            self.model, self.tx, loss_fn=_masked_loss(loss_fu), mesh=mesh, donate=False
+            self.model, self.tx, loss_fn=_masked_loss(loss), mesh=mesh, donate=False
         )
-        self.eval_step = make_eval_step(self.model, loss_fn=_masked_loss(loss_fu), mesh=mesh)
+        self.eval_step = make_eval_step(self.model, loss_fn=_masked_loss(loss), mesh=mesh)
 
     # ------------------------------------------------------------------ #
 

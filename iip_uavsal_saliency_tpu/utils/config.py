@@ -53,7 +53,11 @@ class Config:
 
     @property
     def ext(self) -> str:
-        return ".avi" if self.train_dataset.upper() in ("UAV2",) else ".mp4"
+        # Single source of truth: data.lists.dataset_ext covers UAV2/UAV2-TE/
+        # CITIUS → .avi, else .mp4 (reference: Demo_Train_Test.py:277-280).
+        from ..data.lists import dataset_ext
+
+        return dataset_ext(self.train_dataset)
 
     @property
     def train_data_dir(self) -> str:

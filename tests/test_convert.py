@@ -3,12 +3,15 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from iip_uavsal_saliency_tpu.models.convert import (
     convert_mobilenet_v2_backbone,
     convert_uavsal_state_dict,
     export_uavsal_state_dict,
 )
+
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the fast tier
 
 
 def _tree_paths(tree, prefix=""):

@@ -23,6 +23,8 @@ from iip_uavsal_saliency_tpu.evaluation.scorer import (
 )
 from iip_uavsal_saliency_tpu.models import SRFNetImage, UAVSal, init_variables, transfer_sfnet
 
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the fast tier
+
 IOSIZE = (64, 64, 8, 8)
 N_IMG = 5
 

@@ -186,3 +186,38 @@ def test_loss_fu_dy_equals_flattened(batch):
         float(loss_fu(jnp.asarray(pred), jnp.asarray(true))),
         rtol=1e-6,
     )
+
+
+def test_masked_loss_honors_loss_fn(batch):
+    """_masked_loss(loss_fn) == loss_fn on full clips, for every registered
+    loss; padded frames with mask=0 contribute nothing (VERDICT r1 weak #4)."""
+    from iip_uavsal_saliency_tpu.training.losses import LOSSES
+    from iip_uavsal_saliency_tpu.training.trainer import _masked_loss
+
+    pred, true = batch
+    n = pred.shape[0]
+    full_mask = np.ones((n, *true.shape[1:3], 1), np.float64)
+    tm = jnp.asarray(np.concatenate([true, full_mask], -1))
+    p = jnp.asarray(pred)
+    def unmasked(name, loss_fn):
+        # loss_fu_dy takes 5-D (V,S,...) clips; trainers flatten before the
+        # loss call, so its masked form on flat frames equals loss_fu
+        return LOSSES["fu"] if name == "fu_dy" else loss_fn
+
+    for name, loss_fn in LOSSES.items():
+        got = float(_masked_loss(loss_fn)(p, tm))
+        want = float(unmasked(name, loss_fn)(p, jnp.asarray(true)))
+        np.testing.assert_allclose(got, want, rtol=1e-6, err_msg=name)
+
+    # padding invariance: append 2 junk frames with mask=0 -> same loss
+    junk_p = np.concatenate([pred, pred[:2] * 0 + 0.123], 0)
+    junk_t = np.concatenate([true, true[:2] * 0 + 0.5], 0)
+    mask = np.concatenate([full_mask, np.zeros_like(full_mask[:2])], 0)
+    tm_pad = jnp.asarray(np.concatenate([junk_t, mask], -1))
+    for name, loss_fn in LOSSES.items():
+        got = float(_masked_loss(loss_fn)(jnp.asarray(junk_p), tm_pad))
+        want = float(unmasked(name, loss_fn)(p, jnp.asarray(true)))
+        np.testing.assert_allclose(got, want, rtol=1e-6, err_msg=name)
+
+    with pytest.raises(ValueError):
+        _masked_loss(lambda a, b: 0.0)

@@ -10,6 +10,8 @@ from iip_uavsal_saliency_tpu.models.recurrent import ConvLSTM, ConvSimGRU, ConvT
 from iip_uavsal_saliency_tpu.models.stblock import temporal_differences
 from iip_uavsal_saliency_tpu.ops.stats import param_bytes, param_count
 
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the fast tier
+
 # Small input keeps CPU compile times manageable; strides still exercise
 # every stage (H, W must be multiples of 32 for clean pyramids).
 H, W = 64, 128

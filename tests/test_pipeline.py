@@ -24,6 +24,8 @@ from iip_uavsal_saliency_tpu.training.checkpoint import load_checkpoint
 from iip_uavsal_saliency_tpu.training.trainer import TrainConfig, Trainer
 from iip_uavsal_saliency_tpu.vis.overlay import visual_vid
 
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the fast tier
+
 # tiny everything: 64x64 input -> 8x8 output, 2-frame clips, 8-frame videos
 IOSIZE = (64, 64, 8, 8)
 TIME_DIMS = 2

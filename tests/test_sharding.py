@@ -18,6 +18,8 @@ from iip_uavsal_saliency_tpu.parallel import (
 )
 from iip_uavsal_saliency_tpu.training import make_optimizer, make_frozen_mask
 
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the fast tier
+
 H, W, T = 64, 64, 5
 HO, WO = H // 8, W // 8
 
