@@ -20,6 +20,7 @@ throughput.
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -34,7 +35,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--height", type=int, default=360)
     ap.add_argument("--width", type=int, default=640)
-    ap.add_argument("--clips", type=int, default=4, help="clips per step (batch_size)")
+    ap.add_argument("--clips", type=int, default=16,
+                    help="clips per step (batch_size); S=80 frames/step is the "
+                         "measured-fastest serving shape (docs/PERF.md)")
     ap.add_argument("--time-dims", type=int, default=5)
     ap.add_argument("--videos", type=int, default=1, help="parallel videos (V axis)")
     ap.add_argument("--steps", type=int, default=30)
@@ -48,6 +51,12 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
     import jax.numpy as jnp
 
     from iip_uavsal_saliency_tpu.models import UAVSal, init_variables
@@ -83,22 +92,21 @@ def main():
         ob = ob.astype(jnp.bfloat16)
         state = state.astype(jnp.bfloat16)
 
-    infer = make_infer_step(model, compute_dtype=compute_dtype)
+    # the serving loop overwrites the state every step: donate its buffer
+    infer = make_infer_step(model, compute_dtype=compute_dtype, donate_state=True)
     params, batch_stats = variables["params"], variables.get("batch_stats", {})
 
-    # compile + warmup
+    # compile + warmup (state buffers are donated -> always chain forward)
     t0 = time.perf_counter()
-    out, st = infer(params, batch_stats, x_u8, gauss, ob, state)
-    jax.block_until_ready((out, st))
+    out, st_cur = infer(params, batch_stats, x_u8, gauss, ob, state)
+    jax.block_until_ready((out, st_cur))
     log(f"first call (compile+run): {time.perf_counter() - t0:.1f}s; out {out.shape}")
 
-    st_cur = state
     for _ in range(args.warmup):
         out, st_cur = infer(params, batch_stats, x_u8, gauss, ob, st_cur)
     jax.block_until_ready((out, st_cur))
 
     t0 = time.perf_counter()
-    st_cur = state
     for _ in range(args.steps):
         out, st_cur = infer(params, batch_stats, x_u8, gauss, ob, st_cur)
     jax.block_until_ready((out, st_cur))

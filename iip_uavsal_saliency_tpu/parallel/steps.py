@@ -128,14 +128,17 @@ def make_eval_step(model, loss_fn: Callable = loss_fu, mesh=None):
     )
 
 
-def make_infer_step(model, mesh=None, out_dtype=None, compute_dtype=None):
+def make_infer_step(model, mesh=None, out_dtype=None, compute_dtype=None,
+                    donate_state: bool = False):
     """Inference step: eval-mode forward, returns (saliency, new_state).
     Accepts uint8 frames and normalizes on-device (cheaper host->HBM).
 
     `compute_dtype=jnp.bfloat16` runs the serving path: activations in bf16
     (params should be pre-cast), which also enables the fused Pallas TWA
     kernel on TPU. The saliency output is returned in f32 unless out_dtype
-    says otherwise."""
+    says otherwise. `donate_state=True` donates the carried recurrent state
+    buffer (arg 5) — the serving loop overwrites it every step, so XLA can
+    reuse the allocation; don't pass a state you intend to reuse."""
     from ..data.letterbox import IMAGENET_MEAN, IMAGENET_STD
 
     mean = jnp.asarray(IMAGENET_MEAN)
@@ -153,8 +156,9 @@ def make_infer_step(model, mesh=None, out_dtype=None, compute_dtype=None):
         out = out.astype(out_dtype if out_dtype is not None else jnp.float32)
         return out, new_rnn
 
+    donate = (5,) if donate_state else ()
     if mesh is None:
-        return jax.jit(step)
+        return jax.jit(step, donate_argnums=donate)
     xs = data_sharding(mesh, 5, spatial_axis=2)
     ss = data_sharding(mesh, 4, spatial_axis=1)
     rep = replicated(mesh)
@@ -162,4 +166,5 @@ def make_infer_step(model, mesh=None, out_dtype=None, compute_dtype=None):
         step,
         in_shardings=(rep, rep, xs, rep, rep, ss),
         out_shardings=(data_sharding(mesh, 5, spatial_axis=2), ss),
+        donate_argnums=donate,
     )

@@ -221,3 +221,39 @@ def test_masked_loss_honors_loss_fn(batch):
 
     with pytest.raises(ValueError):
         _masked_loss(lambda a, b: 0.0)
+
+
+def test_auc_judd_tied_uint8_jitter_parity():
+    """Device AUC-Judd with random tie-breaking vs the NumPy sweep with the
+    reference's rand*1e-7 jitter (f64), on a heavily tied uint8 salmap.
+    The two are independent Monte-Carlo draws of the same tie-breaking
+    distribution, so their means over seeds must agree within noise
+    (reference: utils_score_torch.py:76-88, utils_score.py:43-75)."""
+    rng = np.random.RandomState(11)
+    h, w = 45, 80
+    # coarse 8-level quantization -> massive ties, exactly like uint8 salmaps
+    yy, xx = np.mgrid[0:h, 0:w]
+    g = np.exp(-(((yy - 22) / 12.0) ** 2 + ((xx - 40) / 20.0) ** 2))
+    sal = (np.floor(g * 8) / 8 * 255).astype(np.uint8).astype(np.float32)
+    fpts = np.zeros((h, w), np.float32)
+    fpts[rng.randint(5, 40, 30), rng.randint(5, 75, 30)] = 1.0
+
+    pred = jnp.asarray(sal[None, :, :, None])
+    true = jnp.asarray(np.stack([sal / 255.0, fpts], -1)[None])
+
+    n_seeds = 24
+    dev = np.array([
+        float(eval_auc_judd(pred, true, jitter_key=jax.random.PRNGKey(s))[0])
+        for s in range(n_seeds)
+    ])
+    ref = np.array([
+        auc_judd_np(sal, fpts, jitter=True, rng=np.random.RandomState(100 + s))
+        for s in range(n_seeds)
+    ])
+    # deterministic (unjittered) closed form must differ measurably from the
+    # jittered truth on tied data -- this is the bug the jitter fixes
+    det = float(eval_auc_judd(pred, true)[0])
+    assert dev.std() > 0, "jitter had no effect"
+    np.testing.assert_allclose(
+        dev.mean(), ref.mean(), atol=3 * ref.std() / np.sqrt(n_seeds) + 1e-3
+    )
