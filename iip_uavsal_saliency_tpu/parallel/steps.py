@@ -45,18 +45,39 @@ def create_train_state(variables, tx: optax.GradientTransformation) -> TrainStat
     )
 
 
+def train_state_shardings(mesh, state: TrainState) -> TrainState:
+    """Sharding pytree for a TrainState under tensor parallelism: params and
+    the optimizer moments (which mirror the kernels' shapes) take the
+    channel-sharding rules; BN stats and the step counter stay replicated."""
+    from .mesh import param_sharding_rules
+
+    rep = replicated(mesh)
+    return TrainState(
+        params=param_sharding_rules(mesh, state.params),
+        batch_stats=jax.tree_util.tree_map(lambda _: rep, state.batch_stats),
+        opt_state=param_sharding_rules(mesh, state.opt_state),
+        step=rep,
+    )
+
+
 def make_train_step(
     model,
     tx: optax.GradientTransformation,
     loss_fn: Callable = loss_fu,
     mesh=None,
     donate: bool = True,
+    state_shardings=None,
 ):
     """Build the jitted TBPTT train step.
 
     step(state, x, gauss, ob, rnn_state, y_true) ->
         (new_state, loss, new_rnn_state)
       x: (V, S, H, W, 3); y_true: (V, S, Ho, Wo, 2); rnn_state: (V, Ho, Wo, C).
+
+    With a mesh, inputs shard V on 'data', frames on 'seq', image rows on
+    'spatial' (axes of size 1 are free). `state_shardings` (see
+    `train_state_shardings`) additionally tensor-parallel-shards the params
+    and optimizer moments over 'model'.
     """
 
     def step(state: TrainState, x, gauss, ob, rnn_state, y_true):
@@ -89,19 +110,21 @@ def make_train_step(
     if mesh is None:
         return jax.jit(step, donate_argnums=(0,) if donate else ())
 
-    xs = data_sharding(mesh, 5, spatial_axis=2)
-    ys = data_sharding(mesh, 5, spatial_axis=2)
+    xs = data_sharding(mesh, 5, spatial_axis=2, seq_axis=1)
+    ys = data_sharding(mesh, 5, spatial_axis=2, seq_axis=1)
     ss = data_sharding(mesh, 4, spatial_axis=1)
     rep = replicated(mesh)
+    ts = state_shardings if state_shardings is not None else rep
     return jax.jit(
         step,
-        in_shardings=(rep, xs, rep, rep, ss, ys),
-        out_shardings=(rep, rep, ss),
+        in_shardings=(ts, xs, rep, rep, ss, ys),
+        out_shardings=(ts, rep, ss),
         donate_argnums=(0,) if donate else (),
     )
 
 
-def make_eval_step(model, loss_fn: Callable = loss_fu, mesh=None):
+def make_eval_step(model, loss_fn: Callable = loss_fu, mesh=None,
+                   param_shardings=None):
     """Validation step: eval-mode BN (running stats), loss only, state carried
     (reference val phase: model.eval() + no backward, Demo_Train_Test.py:95-149)."""
 
@@ -117,13 +140,14 @@ def make_eval_step(model, loss_fn: Callable = loss_fu, mesh=None):
 
     if mesh is None:
         return jax.jit(step)
-    xs = data_sharding(mesh, 5, spatial_axis=2)
-    ys = data_sharding(mesh, 5, spatial_axis=2)
+    xs = data_sharding(mesh, 5, spatial_axis=2, seq_axis=1)
+    ys = data_sharding(mesh, 5, spatial_axis=2, seq_axis=1)
     ss = data_sharding(mesh, 4, spatial_axis=1)
     rep = replicated(mesh)
+    ps = param_shardings if param_shardings is not None else rep
     return jax.jit(
         step,
-        in_shardings=(rep, rep, xs, rep, rep, ss, ys),
+        in_shardings=(ps, rep, xs, rep, rep, ss, ys),
         out_shardings=(rep, ss),
     )
 
@@ -159,12 +183,12 @@ def make_infer_step(model, mesh=None, out_dtype=None, compute_dtype=None,
     donate = (5,) if donate_state else ()
     if mesh is None:
         return jax.jit(step, donate_argnums=donate)
-    xs = data_sharding(mesh, 5, spatial_axis=2)
+    xs = data_sharding(mesh, 5, spatial_axis=2, seq_axis=1)
     ss = data_sharding(mesh, 4, spatial_axis=1)
     rep = replicated(mesh)
     return jax.jit(
         step,
         in_shardings=(rep, rep, xs, rep, rep, ss),
-        out_shardings=(data_sharding(mesh, 5, spatial_axis=2), ss),
+        out_shardings=(data_sharding(mesh, 5, spatial_axis=2, seq_axis=1), ss),
         donate_argnums=donate,
     )

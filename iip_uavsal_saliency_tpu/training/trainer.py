@@ -183,10 +183,23 @@ class Trainer:
         from .losses import LOSSES
 
         loss = LOSSES[config.loss_name]
+        # tensor parallelism: when the mesh has a >1 'model' axis, shard the
+        # 1x1-conv kernels + Adam moments on output channels and keep the
+        # step's outputs in that layout (parallel/mesh.param_sharding_rules)
+        shardings = None
+        if mesh is not None and dict(mesh.shape).get("model", 1) > 1:
+            from ..parallel.steps import train_state_shardings
+
+            shardings = train_state_shardings(mesh, self.state)
+            self.state = jax.device_put(self.state, shardings)
         self.train_step = make_train_step(
-            self.model, self.tx, loss_fn=_masked_loss(loss), mesh=mesh, donate=False
+            self.model, self.tx, loss_fn=_masked_loss(loss), mesh=mesh, donate=False,
+            state_shardings=shardings,
         )
-        self.eval_step = make_eval_step(self.model, loss_fn=_masked_loss(loss), mesh=mesh)
+        self.eval_step = make_eval_step(
+            self.model, loss_fn=_masked_loss(loss), mesh=mesh,
+            param_shardings=shardings.params if shardings is not None else None,
+        )
 
     # ------------------------------------------------------------------ #
 

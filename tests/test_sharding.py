@@ -39,7 +39,9 @@ def _setup(v):
 def test_mesh_shapes():
     assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
     mesh = make_mesh(n_data=4, n_spatial=2)
-    assert dict(mesh.shape) == {"data": 4, "spatial": 2}
+    assert dict(mesh.shape) == {"data": 4, "spatial": 2, "seq": 1, "model": 1}
+    mesh4 = make_mesh(n_data=2, n_spatial=1, n_seq=2, n_model=2)
+    assert dict(mesh4.shape) == {"data": 2, "spatial": 1, "seq": 2, "model": 2}
 
 
 def test_train_step_dp_matches_single_device():
@@ -166,3 +168,125 @@ def test_zoo_adapter_train_step_on_mesh():
     )
     assert np.isfinite(float(loss))
     assert new_s.shape == s.shape
+
+
+def _setup_s(v, s):
+    """Like _setup but with a longer S (multi-clip) frame axis for seq tests."""
+    model = UAVSal(time_dims=T)
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.rand(v, s, H, W, 3).astype(np.float32))
+    g = jnp.asarray(rng.rand(HO, WO, 8).astype(np.float32))
+    o = jnp.asarray(rng.rand(HO, WO, 20).astype(np.float32))
+    st = model.init_state(H, W, v)
+    y = jnp.asarray((rng.rand(v, s, HO, WO, 2) > 0.7).astype(np.float32))
+    variables = init_variables(model, jax.random.PRNGKey(0), x, g, o, st)
+    return model, variables, (x, g, o, st, y)
+
+
+def _single_device_reference(model, variables, batch):
+    x, g, o, st, y = batch
+    tx = make_optimizer(1e-3, 0.0)
+    st0 = create_train_state(variables, tx)
+    step0 = make_train_step(model, tx, donate=False)
+    return tx, step0(st0, x, g, o, st, y)
+
+
+def _assert_step_matches(ref, got):
+    st0b, loss0, rnn0 = ref
+    st1b, loss1, rnn1 = got
+    np.testing.assert_allclose(float(loss0), float(loss1), rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(rnn0), np.asarray(rnn1), atol=0.03)
+    p0 = np.asarray(jax.tree_util.tree_leaves(st0b.params)[0])
+    p1 = np.asarray(jax.tree_util.tree_leaves(st1b.params)[0])
+    agree = np.mean(np.abs(p0 - p1) < 5e-4)
+    assert agree > 0.98, f"only {agree:.3f} of params agree"
+
+
+def test_train_step_seq_parallel_matches_single_device():
+    """Time-axis sequence parallelism (SURVEY §2.5): frames sharded over
+    'seq'. XLA inserts the ±1-frame halo exchange for the temporal-difference
+    stencil (reference: model.py:194-198), the cross-shard reductions for
+    train-mode BN statistics, and the gather feeding the sequential TWA scan.
+    Must equal the unsharded step."""
+    model, variables, batch = _setup_s(v=1, s=2 * T)
+    tx, ref = _single_device_reference(model, variables, batch)
+    x, g, o, st, y = batch
+
+    mesh = make_mesh(n_data=1, n_spatial=1, n_seq=2)
+    st1 = jax.device_put(create_train_state(variables, tx), replicated(mesh))
+    step1 = make_train_step(model, tx, mesh=mesh, donate=False)
+    got = step1(
+        st1,
+        jax.device_put(x, data_sharding(mesh, 5, seq_axis=1)),
+        jax.device_put(g, replicated(mesh)),
+        jax.device_put(o, replicated(mesh)),
+        jax.device_put(st, data_sharding(mesh, 4)),
+        jax.device_put(y, data_sharding(mesh, 5, seq_axis=1)),
+    )
+    _assert_step_matches(ref, got)
+
+
+def test_train_step_tensor_parallel_matches_single_device():
+    """Channel-axis tensor parallelism (SURVEY §2.5): 1x1-conv kernels and
+    their Adam moments sharded on output channels over 'model'
+    (param_sharding_rules); XLA partitions the matmuls. Must equal the
+    unsharded step."""
+    from iip_uavsal_saliency_tpu.parallel import (
+        param_sharding_rules,
+        train_state_shardings,
+    )
+
+    model, variables, batch = _setup_s(v=1, s=T)
+    tx, ref = _single_device_reference(model, variables, batch)
+    x, g, o, st, y = batch
+
+    mesh = make_mesh(n_data=1, n_spatial=1, n_seq=1, n_model=2)
+    state = create_train_state(variables, tx)
+    shardings = train_state_shardings(mesh, state)
+    # the rules must actually shard something (the big pointwise kernels)
+    specs = {s.spec for s in jax.tree_util.tree_leaves(
+        param_sharding_rules(mesh, state.params),
+        is_leaf=lambda l: hasattr(l, "spec"))}
+    assert any(spec != () and any(spec) for spec in specs), "TP rules sharded nothing"
+
+    st1 = jax.device_put(state, shardings)
+    step1 = make_train_step(
+        model, tx, mesh=mesh, donate=False, state_shardings=shardings
+    )
+    got = step1(
+        st1,
+        jax.device_put(x, data_sharding(mesh, 5)),
+        jax.device_put(g, replicated(mesh)),
+        jax.device_put(o, replicated(mesh)),
+        jax.device_put(st, data_sharding(mesh, 4)),
+        jax.device_put(y, data_sharding(mesh, 5)),
+    )
+    _assert_step_matches(ref, got)
+
+
+def test_train_step_dp_seq_tp_combined():
+    """Full 3-way combination on all 8 devices: videos on 'data', frames on
+    'seq', channels on 'model' — one step runs and matches the single-device
+    result."""
+    from iip_uavsal_saliency_tpu.parallel import train_state_shardings
+
+    model, variables, batch = _setup_s(v=2, s=2 * T)
+    tx, ref = _single_device_reference(model, variables, batch)
+    x, g, o, st, y = batch
+
+    mesh = make_mesh(n_data=2, n_spatial=1, n_seq=2, n_model=2)
+    state = create_train_state(variables, tx)
+    shardings = train_state_shardings(mesh, state)
+    st1 = jax.device_put(state, shardings)
+    step1 = make_train_step(
+        model, tx, mesh=mesh, donate=False, state_shardings=shardings
+    )
+    got = step1(
+        st1,
+        jax.device_put(x, data_sharding(mesh, 5, seq_axis=1)),
+        jax.device_put(g, replicated(mesh)),
+        jax.device_put(o, replicated(mesh)),
+        jax.device_put(st, data_sharding(mesh, 4)),
+        jax.device_put(y, data_sharding(mesh, 5, seq_axis=1)),
+    )
+    _assert_step_matches(ref, got)
