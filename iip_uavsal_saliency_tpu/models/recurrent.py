@@ -60,13 +60,15 @@ class ConvTWA(nn.Module):
     Accepts (S, H, W, C) with state (H, W, C), or batched (V, S, H, W, C)
     with state (V, H, W, C) — sequential in S, parallel across V.
 
-    `use_pallas`: True runs the fused VMEM-resident Pallas kernel
+    `use_pallas`: selects the fused VMEM-resident Pallas kernel
     (ops/pallas_twa.py, TPU + bf16 + qualifying shapes only; differentiable
-    via an XLA-recompute VJP). Default False/None = the XLA scan with the
-    hoisted input conv — measured FASTER on TPU v5e (994 vs 877 FPS
-    whole-model at 360x640): XLA's implicit-GEMM conv beats the kernel's
-    shifted-matmul taps, and the whole recurrence is only ~6% of step time.
-    The kernel is kept as an opt-in and a base for future tuning.
+    via an XLA-recompute VJP). Default None = auto: the kernel runs whenever
+    supported — measured faster than the XLA scan at the flagship serving
+    shape (1287 vs 1273 FPS whole-model at 360x640, S=80 bf16, 3-run means;
+    docs/PERF.md). At short steps (S=20) the XLA scan still wins (994 vs
+    877 FPS) because per-call overhead dominates; pass use_pallas=False to
+    force the scan. Anywhere the kernel is unsupported (CPU, f32,
+    non-3x3 gates) the XLA scan with the hoisted input conv runs.
     """
 
     hidden_dim: int = 256
@@ -105,7 +107,10 @@ class ConvTWA(nn.Module):
 
         from ..ops.pallas_twa import supports_pallas, twa_scan, twa_scan_xla
 
-        use_pallas = bool(self.use_pallas) and (
+        # auto (None): prefer the fused kernel at supported shapes, but only
+        # for long steps — S>=40 is where it beats the XLA scan (docs/PERF.md)
+        want = self.use_pallas if self.use_pallas is not None else s >= 40
+        use_pallas = bool(want) and (
             jax.default_backend() == "tpu"
             and self.kernel_size == 3
             and supports_pallas(x.shape, x.dtype)

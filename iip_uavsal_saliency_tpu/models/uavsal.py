@@ -178,7 +178,7 @@ class UAVSal(nn.Module):
     bias_type: Sequence[int] = (1, 1, 1)
     planes: int = 256
     compat_cxt_tile: bool = True
-    twa_pallas: Optional[bool] = None  # True = opt-in fused Pallas TWA (TPU+bf16)
+    twa_pallas: Optional[bool] = None  # None=auto (Pallas TWA on TPU+bf16, S>=40)
 
     def init_state(self, height: int, width: int, n_videos: int = 1, dtype=jnp.float32):
         """Zero TWA state for inputs of (height, width) pixels."""
@@ -209,9 +209,9 @@ class UAVSal(nn.Module):
 
         ho, wo = x.shape[1], x.shape[2]
         x = x.reshape(v, s, ho, wo, self.planes)
-        # batched ConvTWA: sequential in S, parallel over V. Default is the
-        # XLA scan (measured faster); twa_pallas=True opts into the fused
-        # VMEM-resident Pallas scan (ops/pallas_twa.py, TPU + bf16 only)
+        # batched ConvTWA: sequential in S, parallel over V. Auto-selects the
+        # fused VMEM-resident Pallas scan (ops/pallas_twa.py, TPU + bf16,
+        # long steps) vs the XLA scan; twa_pallas=True/False forces a path
         rnn = ConvTWA(self.planes, 3, use_bias=False,
                       use_pallas=self.twa_pallas, name="rnn")
         x, new_state = rnn(x, state)
