@@ -48,6 +48,12 @@ def main():
                     help="TWA recurrence (auto picks the fused Pallas kernel at "
                          "long-step bf16 serving shapes, else the XLA scan)")
     ap.add_argument("--baseline-fps", type=float, default=85.0)
+    ap.add_argument("--in-graph", action="store_true",
+                    help="run the step loop inside ONE jit (lax.scan over "
+                         "steps): measures chip-bound throughput with no "
+                         "per-step host dispatch (diagnostic, not the "
+                         "serving headline — real serving feeds fresh "
+                         "input per step)")
     args = ap.parse_args()
 
     import jax
@@ -106,11 +112,35 @@ def main():
         out, st_cur = infer(params, batch_stats, x_u8, gauss, ob, st_cur)
     jax.block_until_ready((out, st_cur))
 
-    t0 = time.perf_counter()
-    for _ in range(args.steps):
-        out, st_cur = infer(params, batch_stats, x_u8, gauss, ob, st_cur)
-    jax.block_until_ready((out, st_cur))
-    dt = time.perf_counter() - t0
+    if args.in_graph:
+        # Chip-bound diagnostic: the whole step loop is one compiled program
+        # (state chained through a lax.scan carry, same per-step math), so
+        # host/relay dispatch is excluded. Real serving pays per-step input
+        # delivery; see docs/PERF.md for the relay-bound analysis.
+        from functools import partial
+
+        infer_plain = make_infer_step(model, compute_dtype=compute_dtype)
+
+        @partial(jax.jit, static_argnums=(6,), donate_argnums=(5,))
+        def run_n(params, batch_stats, x_u8, gauss, ob, st, n):
+            def step(st, _):
+                out, st = infer_plain(params, batch_stats, x_u8, gauss, ob, st)
+                return st, out[:, -1, :, :, 0].sum()  # keep a live output
+            st, sums = jax.lax.scan(step, st, None, length=n)
+            return st, sums
+
+        st_cur, sums = run_n(params, batch_stats, x_u8, gauss, ob, st_cur, args.steps)
+        jax.block_until_ready((st_cur, sums))  # compile + warm
+        t0 = time.perf_counter()
+        st_cur, sums = run_n(params, batch_stats, x_u8, gauss, ob, st_cur, args.steps)
+        jax.block_until_ready((st_cur, sums))
+        dt = time.perf_counter() - t0
+    else:
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            out, st_cur = infer(params, batch_stats, x_u8, gauss, ob, st_cur)
+        jax.block_until_ready((out, st_cur))
+        dt = time.perf_counter() - t0
 
     frames = args.steps * v * s
     fps = frames / dt
@@ -119,7 +149,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"inference_fps_{h}x{w}",
+                "metric": f"inference_fps_{h}x{w}" + ("_chipbound" if args.in_graph else ""),
                 "value": round(fps, 1),
                 "unit": "frames/sec",
                 "vs_baseline": round(fps / args.baseline_fps, 3),

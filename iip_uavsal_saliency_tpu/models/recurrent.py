@@ -63,12 +63,12 @@ class ConvTWA(nn.Module):
     `use_pallas`: selects the fused VMEM-resident Pallas kernel
     (ops/pallas_twa.py, TPU + bf16 + qualifying shapes only; differentiable
     via an XLA-recompute VJP). Default None = auto: the kernel runs whenever
-    supported — measured faster than the XLA scan at the flagship serving
-    shape (1287 vs 1273 FPS whole-model at 360x640, S=80 bf16, 3-run means;
-    docs/PERF.md). At short steps (S=20) the XLA scan still wins (994 vs
-    877 FPS) because per-call overhead dominates; pass use_pallas=False to
-    force the scan. Anywhere the kernel is unsupported (CPU, f32,
-    non-3x3 gates) the XLA scan with the hoisted input conv runs.
+    supported — measured faster than the XLA scan at every step length
+    chip-bound (whole model 360x640 bf16, TPU v5e in-graph loop: 9757 vs
+    8875 FPS at S=20, 9550 vs 8865 at S=40, 8714 vs 7831 at S=80; and never
+    slower through the relay-bound streaming path — docs/PERF.md). Pass
+    use_pallas=False to force the scan. Anywhere the kernel is unsupported
+    (CPU, f32, non-3x3 gates) the XLA scan with the hoisted input conv runs.
     """
 
     hidden_dim: int = 256
@@ -107,9 +107,9 @@ class ConvTWA(nn.Module):
 
         from ..ops.pallas_twa import supports_pallas, twa_scan, twa_scan_xla
 
-        # auto (None): prefer the fused kernel at supported shapes, but only
-        # for long steps — S>=40 is where it beats the XLA scan (docs/PERF.md)
-        want = self.use_pallas if self.use_pallas is not None else s >= 40
+        # auto (None): the fused kernel whenever supported — it wins at every
+        # measured step length chip-bound and never loses (docs/PERF.md)
+        want = self.use_pallas if self.use_pallas is not None else True
         use_pallas = bool(want) and (
             jax.default_backend() == "tpu"
             and self.kernel_size == 3

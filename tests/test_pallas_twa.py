@@ -105,3 +105,38 @@ def test_pallas_bf16_close_to_xla_f32():
     np.testing.assert_allclose(
         np.asarray(ys_p, np.float32), np.asarray(ys_x), rtol=0.1, atol=0.05
     )
+
+
+def test_conv_twa_auto_selects_pallas_when_supported(monkeypatch):
+    """use_pallas=None picks the fused kernel on TPU + supported shapes
+    (it wins at every measured step length, docs/PERF.md); False forces
+    the XLA scan."""
+    from iip_uavsal_saliency_tpu.models.recurrent import ConvTWA
+
+    calls = []
+
+    def fake_twa_scan(x, gx, w_h, h0):
+        calls.append(x.shape)
+        return twa_scan_xla(x, gx, w_h.astype(jnp.float32), h0)
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(ptwa, "supports_pallas", lambda shape, dtype: True)
+    monkeypatch.setattr(ptwa, "twa_scan", fake_twa_scan)
+
+    def run(s, use_pallas):
+        cell = ConvTWA(hidden_dim=8, use_pallas=use_pallas)
+        x = _rand((1, s, 6, 8, 8), seed=s)
+        h0 = _rand((1, 6, 8, 8), seed=s + 1)
+        vs = cell.init(jax.random.PRNGKey(0), x, h0)
+        cell.apply(vs, x, h0)
+
+    run(40, None)
+    assert calls, "auto should take the Pallas path when supported"
+    calls.clear()
+    run(20, None)
+    assert calls, "auto takes the Pallas path at short steps too"
+    calls.clear()
+    run(40, False)
+    assert not calls, "use_pallas=False must force the XLA scan"
+    run(20, True)
+    assert calls, "use_pallas=True forces the kernel when supported"
