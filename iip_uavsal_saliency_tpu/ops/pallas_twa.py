@@ -22,8 +22,9 @@ every step. This kernel keeps h resident in VMEM for the entire scan:
   step s come from slot s%2, writes go to slot (s+1)%2, so every row chunk
   of step s sees the unmodified h_{s-1} (including halo rows) with no
   boundary masking — the padding rows ARE the conv zero-padding.
-- the 3x3 conv is computed as 9 shifted (RB*W, C) x (C, C) MXU matmuls
-  accumulated in f32.
+- the 3x3 conv is computed as a partial im2col: per dx tap, the three
+  dy-shifted windows concat on channels into one (RB*W, 3C) x (3C, C) MXU
+  matmul (3 matmuls total), accumulated in f32.
 - x_t / gx_t stream in as (RB, W, C) blocks; h_t streams out through the
   ys output (the final frame's ys row IS the carried state, so no separate
   h_last output is needed).
@@ -111,11 +112,16 @@ def _twa_kernel(x_ref, gx_ref, w_ref, h0_ref, ys_ref, h_pp, sem, *, rb, H, W, C,
     # cover output rows r0..r0+rb with their +/-1 halo; same in W.
     win = h_pp[cur, pl.ds(r0, rb + 2), :, :]  # (rb+2, PW, C)
 
+    # Partial im2col over dy: for each dx, the three dy-shifted windows are
+    # concatenated on channels -> one (rb*W, 3C) x (3C, C) matmul. dy shifts
+    # index the UNTILED leading dim, so (unlike dx/sublane shifts) Mosaic
+    # accepts the concat; 3 K=3C matmuls beat 9 K=C matmuls on the MXU.
     acc = jnp.zeros((rb * W, C), jnp.float32)
-    for dy in range(3):
-        for dx in range(3):
-            tap = win[dy : dy + rb, dx : dx + W, :].reshape(rb * W, C)
-            acc = acc + jnp.dot(tap, w_ref[dy, dx], preferred_element_type=jnp.float32)
+    for dx in range(3):
+        tap = jnp.concatenate(
+            [win[dy : dy + rb, dx : dx + W, :] for dy in range(3)], axis=-1
+        ).reshape(rb * W, 3 * C)
+        acc = acc + jnp.dot(tap, w_ref[dx], preferred_element_type=jnp.float32)
 
     gx_t = gx_ref[0, 0].astype(jnp.float32).reshape(rb * W, C)
     x_t = x_ref[0, 0].astype(jnp.float32).reshape(rb * W, C)
@@ -153,6 +159,10 @@ def twa_scan_pallas(x: jnp.ndarray, gx: jnp.ndarray, w_h: jnp.ndarray,
     pw = _round_up(w + 2, 8)
     h0 = jnp.pad(h0, ((0, 0), (1, 1), (1, pw - w - 1), (0, 0)))
 
+    # (3,3,C,C)[dy,dx] -> (3,3C,C)[dx]: per-dx weights with the three dy taps
+    # stacked dy-major on input channels (matches the kernel's tap concat)
+    w_h = jnp.swapaxes(w_h, 0, 1).reshape(3, 3 * c, c)
+
     kernel = functools.partial(_twa_kernel, rb=rb, H=h, W=w, C=c, PW=pw)
     ys = pl.pallas_call(
         kernel,
@@ -162,7 +172,7 @@ def twa_scan_pallas(x: jnp.ndarray, gx: jnp.ndarray, w_h: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, rb, w, c), lambda i, j, k: (i, j, k, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, 3, c, c), lambda i, j, k: (0, 0, 0, 0),
+            pl.BlockSpec((3, 3 * c, c), lambda i, j, k: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),  # h0 stays in HBM, DMA'd once
         ],
