@@ -12,10 +12,13 @@ Prints exactly one JSON line on stdout:
 Diagnostics go to stderr.
 
 Methodology: steps are chained through the recurrent state (true streaming
-serving); timing encloses the whole loop with one final block_until_ready.
-When the TPU is reached through a remote relay (axon), per-step dispatch
-overhead is included — treat results as a LOWER bound on real-chip
-throughput.
+serving); timing encloses the whole loop and ends with a HOST SCALAR FETCH
+of the last output — `block_until_ready` returns early through the axon
+relay, so a value fetch is the only trustworthy sync here (docs/PERF.md
+"Measurement integrity"). `--in-graph` instead runs the loop inside one
+jit over a pool of pre-staged clips: chip-bound throughput, no per-step
+dispatch. Streaming runs at ~92% of chip-bound — the pipeline is
+compute-bound.
 """
 
 import argparse
@@ -110,36 +113,54 @@ def main():
 
     for _ in range(args.warmup):
         out, st_cur = infer(params, batch_stats, x_u8, gauss, ob, st_cur)
-    jax.block_until_ready((out, st_cur))
+    float(out.astype(jnp.float32).sum())  # true sync before the timed loop
 
     if args.in_graph:
         # Chip-bound diagnostic: the whole step loop is one compiled program
         # (state chained through a lax.scan carry, same per-step math), so
-        # host/relay dispatch is excluded. Real serving pays per-step input
-        # delivery; see docs/PERF.md for the relay-bound analysis.
+        # host/relay dispatch is excluded. Two trip-wires learned the hard
+        # way (docs/PERF.md "Measurement integrity"):
+        # - each step indexes a DIFFERENT pre-staged clip from an HBM pool;
+        #   with a loop-invariant input XLA hoists the state-independent
+        #   trunk out of the scan and the number excludes most of the model;
+        # - the sync is a host-side scalar fetch (float(...)), because
+        #   block_until_ready returns early through the axon relay.
+        # Reported per-step time still includes one relay round trip
+        # (~25-40 ms) across the whole run — a slight UNDERstatement of
+        # chip throughput at large --steps.
         from functools import partial
 
         infer_plain = make_infer_step(model, compute_dtype=compute_dtype)
+        n_pool = 4
+        pool = jnp.asarray(
+            rng.randint(0, 255, (n_pool, v, s, h, w, 3), np.uint8)
+        )
 
         @partial(jax.jit, static_argnums=(6,), donate_argnums=(5,))
-        def run_n(params, batch_stats, x_u8, gauss, ob, st, n):
-            def step(st, _):
-                out, st = infer_plain(params, batch_stats, x_u8, gauss, ob, st)
-                return st, out[:, -1, :, :, 0].sum()  # keep a live output
-            st, sums = jax.lax.scan(step, st, None, length=n)
-            return st, sums
+        def run_n(params, batch_stats, pool, gauss, ob, st, n):
+            def step(st, i):
+                x_i = jax.lax.dynamic_index_in_dim(
+                    pool, i % n_pool, keepdims=False
+                )
+                out, st = infer_plain(params, batch_stats, x_i, gauss, ob, st)
+                return st, out[:, -1, :, :, 0].astype(jnp.float32).sum()
+            st, sums = jax.lax.scan(step, st, jnp.arange(n))
+            return st, sums.sum()
 
-        st_cur, sums = run_n(params, batch_stats, x_u8, gauss, ob, st_cur, args.steps)
-        jax.block_until_ready((st_cur, sums))  # compile + warm
+        st_cur, chk = run_n(params, batch_stats, pool, gauss, ob, st_cur, args.steps)
+        float(chk)  # compile + warm (true sync: scalar fetch)
         t0 = time.perf_counter()
-        st_cur, sums = run_n(params, batch_stats, x_u8, gauss, ob, st_cur, args.steps)
-        jax.block_until_ready((st_cur, sums))
+        st_cur, chk = run_n(params, batch_stats, pool, gauss, ob, st_cur, args.steps)
+        float(chk)
         dt = time.perf_counter() - t0
     else:
         t0 = time.perf_counter()
         for _ in range(args.steps):
             out, st_cur = infer(params, batch_stats, x_u8, gauss, ob, st_cur)
-        jax.block_until_ready((out, st_cur))
+        # true sync: a scalar fetch of the last output (block_until_ready
+        # returns early through the relay; per-step dispatches serialize on
+        # the device queue, so the loop itself paces honestly)
+        float(out.astype(jnp.float32).sum())
         dt = time.perf_counter() - t0
 
     frames = args.steps * v * s

@@ -63,10 +63,9 @@ class ConvTWA(nn.Module):
     `use_pallas`: selects the fused VMEM-resident Pallas kernel
     (ops/pallas_twa.py, TPU + bf16 + qualifying shapes only; differentiable
     via an XLA-recompute VJP). Default None = auto: the kernel runs whenever
-    supported — measured faster than the XLA scan at every step length
-    chip-bound (whole model 360x640 bf16, TPU v5e in-graph loop: 10050 vs
-    8875 FPS at S=20, 9551 vs 8865 at S=40, 8945 vs 7831 at S=80; and never
-    slower through the relay-bound streaming path — docs/PERF.md). Pass
+    supported — ~1.25x the XLA scan in isolation (53 vs 65 us/frame at
+    45x80x256 bf16) and +1.5% whole-model at the S=80 serving shape
+    (chip-bound 1401 vs 1380 FPS), measured never slower (docs/PERF.md). Pass
     use_pallas=False to force the scan. Anywhere the kernel is unsupported
     (CPU, f32, non-3x3 gates) the XLA scan with the hoisted input conv runs.
     """
