@@ -136,6 +136,11 @@ def test_videos(
                 mode="RGB", normalize=False,
             )
             total = (nframes // time_dims) * time_dims
+            if total == 0:
+                log.warning(
+                    "video %s decoded to %d frames (< time_dims=%d); "
+                    "writing an empty salmap", name, nframes, time_dims,
+                )
             decoded.append((name, vidimgs[:total], total, height, width))
 
         v = len(decoded)
