@@ -72,6 +72,7 @@ def cmd_train(cfg: Config):
         shuffle_train=cfg.shuffle_train,
         videos_per_step=cfg.videos_per_step,
         resume=cfg.resume,
+        mixed_precision=cfg.mixed_precision,
     )
     pre_vars = None
     if cfg.pre_model_path:

@@ -74,6 +74,7 @@ class TrainConfig:
     videos_per_step: int = 1     # >1 enables multi-video data parallelism
     resume: bool = False         # continue from the latest epoch checkpoint
     loss_name: str = "fu"        # any training.losses.LOSSES key
+    mixed_precision: bool = False  # bf16 compute, f32 masters (~2x step speed)
 
 
 def _masked_loss(loss_fn: Callable):
@@ -195,6 +196,7 @@ class Trainer:
         self.train_step = make_train_step(
             self.model, self.tx, loss_fn=_masked_loss(loss), mesh=mesh, donate=False,
             state_shardings=shardings,
+            compute_dtype=jnp.bfloat16 if config.mixed_precision else None,
         )
         self.eval_step = make_eval_step(
             self.model, loss_fn=_masked_loss(loss), mesh=mesh,
