@@ -68,6 +68,11 @@ class ConvTWA(nn.Module):
     (chip-bound 1401 vs 1380 FPS), measured never slower (docs/PERF.md). Pass
     use_pallas=False to force the scan. Anywhere the kernel is unsupported
     (CPU, f32, non-3x3 gates) the XLA scan with the hoisted input conv runs.
+
+    Multi-chip note: the kernel's custom call has no GSPMD partitioning
+    rule yet — when jitting over a >1-device mesh, build the model with
+    use_pallas/twa_pallas=False (the Trainer and dryrun do this) so the
+    recurrence stays partitionable.
     """
 
     hidden_dim: int = 256
