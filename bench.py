@@ -48,8 +48,8 @@ def main():
     ap.add_argument("--dtype", choices=["f32", "bf16"], default="bf16",
                     help="bf16 is the serving path (f32 for reference parity)")
     ap.add_argument("--twa", choices=["auto", "pallas", "xla"], default="auto",
-                    help="TWA recurrence (auto picks the fused Pallas kernel at "
-                         "long-step bf16 serving shapes, else the XLA scan)")
+                    help="TWA recurrence (auto picks the fused Pallas kernel "
+                         "whenever supported — TPU + bf16; xla forces the scan)")
     ap.add_argument("--baseline-fps", type=float, default=85.0)
     ap.add_argument("--in-graph", action="store_true",
                     help="run the step loop inside ONE jit (lax.scan over "

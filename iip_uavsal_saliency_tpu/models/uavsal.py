@@ -178,7 +178,7 @@ class UAVSal(nn.Module):
     bias_type: Sequence[int] = (1, 1, 1)
     planes: int = 256
     compat_cxt_tile: bool = True
-    twa_pallas: Optional[bool] = None  # None=auto (Pallas TWA on TPU+bf16, S>=40)
+    twa_pallas: Optional[bool] = None  # None=auto: Pallas TWA whenever supported (TPU+bf16)
 
     def init_state(self, height: int, width: int, n_videos: int = 1, dtype=jnp.float32):
         """Zero TWA state for inputs of (height, width) pixels."""

@@ -44,7 +44,10 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Run pallas_call in interpreter mode (CPU tests); see pallas_twa.INTERPRET.
+from .pallas_twa import _round_up, _row_block  # shared tiling helpers
+
+# Run pallas_call in interpreter mode (CPU tests). Deliberately a separate
+# flag from pallas_twa.INTERPRET: tests flip each kernel independently.
 INTERPRET = False
 
 
@@ -90,13 +93,6 @@ def dwblock_ref(x, w1, b1, wd, bd, w2, b2, residual: bool):
     return p.astype(x.dtype)
 
 
-def _row_block(h: int, max_rb: int = 16) -> Optional[int]:
-    for rb in range(min(h, max_rb), 1, -1):
-        if h % rb == 0:
-            return rb
-    return None
-
-
 def _e_chunk(e: int, max_ec: int = 512) -> Optional[int]:
     """Largest 128-multiple chunk <= max_ec dividing e (e must be a multiple
     of 128 — pad first). Lane-dim VMEM slices must be 128-aligned."""
@@ -108,8 +104,6 @@ def _e_chunk(e: int, max_ec: int = 512) -> Optional[int]:
     return None
 
 
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
 
 
 def _dwb_kernel(xp_ref, w1_ref, b1_ref, wd_ref, bd_ref, w2_ref, b2_ref,

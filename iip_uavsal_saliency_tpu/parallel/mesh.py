@@ -47,6 +47,12 @@ def make_mesh(
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
         n_data = len(devices) // (n_spatial * n_seq * n_model)
+    if n_data < 1:
+        raise ValueError(
+            f"mesh needs n_spatial*n_seq*n_model = "
+            f"{n_spatial * n_seq * n_model} devices per data shard, "
+            f"have {len(devices)}"
+        )
     n = n_data * n_spatial * n_seq * n_model
     if n > len(devices):
         raise ValueError(

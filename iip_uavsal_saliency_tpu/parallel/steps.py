@@ -27,6 +27,19 @@ from ..training.losses import loss_fu
 from .mesh import data_sharding, replicated
 
 
+def _partitionable_model(model, mesh):
+    """Force the XLA TWA scan on multi-device meshes: the fused Pallas
+    kernel's custom call has no GSPMD partitioning rule, so a sharded jit
+    over it cannot compile. Overrides even an explicit twa_pallas=True."""
+    if (
+        mesh is not None
+        and getattr(mesh, "size", 1) > 1
+        and getattr(model, "twa_pallas", False) is not False
+    ):
+        model = model.clone(twa_pallas=False)
+    return model
+
+
 @flax.struct.dataclass
 class TrainState:
     params: Any
@@ -84,10 +97,13 @@ def make_train_step(
     forward/backward graph runs in bf16 (params/activations cast at the
     step boundary) while the MASTER params, Adam moments, BN running
     stats, loss, and gradients stay f32 — bf16's f32-range exponent means
-    no loss scaling is needed. Measured ~2x step throughput; batch-norm
-    batch statistics are computed from bf16 activations (documented
-    tradeoff of the opt-in).
+    no loss scaling is needed. Measured ~2x step throughput. Per-batch BN
+    statistics are computed from bf16 activations (the documented tradeoff
+    of the opt-in), but the running-stat EMA accumulates in f32 (see
+    _accumulate_bn) so the masters never re-quantize.
     """
+
+    model = _partitionable_model(model, mesh)
 
     cast = (
         (lambda t: jax.tree_util.tree_map(
@@ -104,10 +120,28 @@ def make_train_step(
         else (lambda t: t)
     )
 
+    def _accumulate_bn(old_f32, old_cast, mutated):
+        """f32 EMA accumulation for BN running stats under mixed precision.
+
+        flax computed `mutated = m*cast(old) + (1-m)*batch` in bf16; simply
+        up-casting that re-quantizes the f32 accumulator every step. Recover
+        the batch contribution `(1-m)*batch = mutated - m*cast(old)` and
+        re-apply it to the f32 master: the accumulator never loses mantissa
+        bits (the batch statistic itself is bf16-computed, which is the
+        documented tradeoff)."""
+        from ..ops.layers import BN_MOMENTUM
+
+        return jax.tree_util.tree_map(
+            lambda of, oc, mu: BN_MOMENTUM * of
+            + (mu.astype(jnp.float32) - BN_MOMENTUM * oc.astype(jnp.float32)),
+            old_f32, old_cast, mutated,
+        )
+
     def step(state: TrainState, x, gauss, ob, rnn_state, y_true):
         def compute_loss(params):
+            bs_cast = cast(state.batch_stats)
             (out, new_rnn), mutated = model.apply(
-                {"params": cast(params), "batch_stats": cast(state.batch_stats)},
+                {"params": cast(params), "batch_stats": bs_cast},
                 cast(x),
                 cast(gauss),
                 cast(ob),
@@ -120,7 +154,13 @@ def make_train_step(
             loss = loss_fn(
                 out.reshape(v * s, *out.shape[2:]), y_true.reshape(v * s, *y_true.shape[2:])
             )
-            return loss, (uncast(mutated["batch_stats"]), uncast(new_rnn))
+            if compute_dtype is not None:
+                new_bs = _accumulate_bn(
+                    state.batch_stats, bs_cast, mutated["batch_stats"]
+                )
+            else:
+                new_bs = mutated["batch_stats"]
+            return loss, (new_bs, uncast(new_rnn))
 
         (loss, (new_bs, new_rnn)), grads = jax.value_and_grad(compute_loss, has_aux=True)(
             state.params
@@ -152,6 +192,7 @@ def make_eval_step(model, loss_fn: Callable = loss_fu, mesh=None,
                    param_shardings=None):
     """Validation step: eval-mode BN (running stats), loss only, state carried
     (reference val phase: model.eval() + no backward, Demo_Train_Test.py:95-149)."""
+    model = _partitionable_model(model, mesh)
 
     def step(params, batch_stats, x, gauss, ob, rnn_state, y_true):
         out, new_rnn = model.apply(
@@ -184,10 +225,13 @@ def make_infer_step(model, mesh=None, out_dtype=None, compute_dtype=None,
 
     `compute_dtype=jnp.bfloat16` runs the serving path: activations in bf16
     (params should be pre-cast), which also enables the fused Pallas TWA
-    kernel on TPU. The saliency output is returned in f32 unless out_dtype
-    says otherwise. `donate_state=True` donates the carried recurrent state
-    buffer (arg 5) — the serving loop overwrites it every step, so XLA can
-    reuse the allocation; don't pass a state you intend to reuse."""
+    kernel on a single TPU (on a >1-device mesh the partitionable XLA scan
+    is forced instead — see _partitionable_model). The saliency output is
+    returned in f32 unless out_dtype says otherwise. `donate_state=True`
+    donates the carried recurrent state buffer (arg 5) — the serving loop
+    overwrites it every step, so XLA can reuse the allocation; don't pass a
+    state you intend to reuse."""
+    model = _partitionable_model(model, mesh)
     from ..data.letterbox import IMAGENET_MEAN, IMAGENET_STD
 
     mean = jnp.asarray(IMAGENET_MEAN)

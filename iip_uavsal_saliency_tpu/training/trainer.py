@@ -141,11 +141,8 @@ class Trainer:
             num_stblock=config.num_stblock,
             bias_type=config.bias_type,
         )
-        if mesh is not None and getattr(mesh, "size", 1) > 1:
-            # the fused Pallas TWA custom call has no GSPMD partitioning
-            # rule yet: under a multi-device mesh force the (partitionable)
-            # XLA scan so sharded steps stay correct
-            want["twa_pallas"] = False
+        # (multi-device meshes force the partitionable XLA TWA scan inside
+        # parallel.steps._partitionable_model — no per-caller gating needed)
         fields = {f.name for f in dataclasses.fields(MODEL_ZOO[config.model_name.lower()])}
         self.model = build_adapted_model(
             config.model_name, **{k: v for k, v in want.items() if k in fields}
