@@ -86,6 +86,70 @@ def eval_auc_judd(y_pred, y_true, jitter_key=None):
     return jnp.where(valid, auc, jnp.nan)
 
 
+def eval_auc_sweep(y_pred, y_true, neg_idx, n_valid, step_size=0.1):
+    """Batched AUC-Borji / shuffled-AUC threshold sweep on device.
+
+    The reference keeps these on the host because the negative sampling and
+    the threshold grid are data-dependent (utils_score_torch.py:91-177).
+    Batched TPU form: the host samples only the negative PIXEL INDICES
+    (cheap), and the sweep runs with a FIXED threshold grid
+    arange(0, 1, step) — provably area-equivalent to the reference's
+    arange(0, upper, step): thresholds above `upper` count zero positives
+    and zero negatives, contributing duplicate (0,0) curve points that the
+    trapezoid rule ignores. Positive counts come from the full frame under
+    the fixation mask (no ragged gather); negative rows >= n_valid[i] are
+    masked out.
+
+    y_pred (N,H,W,1); y_true (N,H,W,2) (channel 1 = fixation points);
+    neg_idx (N, NF, R) int32 flat pixel indices (R = random splits);
+    n_valid (N,) valid rows per frame — n_fix for Borji,
+    min(n_fix, #shufmap-fixations) for shuffled (also the fp denominator,
+    matching the reference). Returns (N,) mean AUC over the R splits, NaN
+    for degenerate frames.
+    """
+    n, h, w, _ = y_pred.shape
+    p = h * w
+    s_raw = y_pred.astype(jnp.float32).reshape(n, p)
+    f = (y_true[..., 1].astype(jnp.float32) > 0.5).reshape(n, p)
+
+    smin = jnp.min(s_raw, axis=1, keepdims=True)
+    smax = jnp.max(s_raw, axis=1, keepdims=True)
+    sn = (s_raw - smin) / (smax - smin + EPS)
+
+    n_fix = jnp.sum(f, axis=1)
+    nf, r = neg_idx.shape[1], neg_idx.shape[2]
+    row_ok = jnp.arange(nf)[None, :, None] < n_valid[:, None, None]
+    neg = jnp.take_along_axis(sn, neg_idx.reshape(n, nf * r), axis=1)
+    neg = neg.reshape(n, nf, r)
+
+    # static descending threshold grid (python floats -> no giant (N,T,P)
+    # intermediate: one (N,P) reduction per threshold)
+    import math
+
+    nt = int(math.ceil(1.0 / step_size))
+    thresholds = [step_size * t for t in range(nt - 1, -1, -1)]
+    denom_fix = jnp.maximum(n_fix, 1).astype(jnp.float32)
+    denom_neg = jnp.maximum(n_valid, 1).astype(jnp.float32)
+    tp_list, fp_list = [], []
+    for t in thresholds:
+        tp_list.append(jnp.sum((sn >= t) & f, axis=1) / denom_fix)
+        fp_list.append(
+            jnp.sum((neg >= t) & row_ok, axis=1) / denom_neg[:, None]
+        )
+    tp = jnp.stack(tp_list, axis=1)[:, :, None]  # (N, T, 1)
+    tp = jnp.broadcast_to(tp, (n, nt, r))
+    fp = jnp.stack(fp_list, axis=1)  # (N, T, R)
+
+    zeros = jnp.zeros((n, 1, r))
+    ones = jnp.ones((n, 1, r))
+    tp = jnp.concatenate([zeros, tp, ones], axis=1)
+    fp = jnp.concatenate([zeros, fp, ones], axis=1)
+    auc = jnp.trapezoid(tp, fp, axis=1).mean(axis=1)
+
+    valid = (n_fix > 0) & (jnp.max(s_raw, axis=1) > 0) & (n_valid > 0)
+    return jnp.where(valid, auc, jnp.nan)
+
+
 METRICS_JAX = {
     "KLD": eval_kl,
     "CC": eval_cc,

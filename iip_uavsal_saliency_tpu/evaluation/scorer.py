@@ -18,8 +18,10 @@ Structure per the reference:
   then dataset means.
 
 Device/host split: KLD/CC/NSS/SIM/AUC-Judd run as ONE jitted batched program
-per video (vs the reference's per-metric per-batch loop); AUC-Borji/shuffled
-stay on host (data-dependent random splits) with vectorized threshold sweeps.
+per video (vs the reference's per-metric per-batch loop). AUC-Borji/shuffled
+default to a batched DEVICE sweep too (the host samples only the negative
+pixel indices; metrics_jax.eval_auc_sweep) — `device_auc=False` falls back
+to the reference-shaped host path (metrics_np, vectorized threshold sweeps).
 """
 
 from __future__ import annotations
@@ -37,7 +39,14 @@ import numpy as np
 from ..data.letterbox import resize_fixation
 from ..data.matio import loadmat, savemat
 from ..utils.logging import get_logger
-from .metrics_jax import eval_auc_judd, eval_cc, eval_kl, eval_nss, eval_sim
+from .metrics_jax import (
+    eval_auc_judd,
+    eval_auc_sweep,
+    eval_cc,
+    eval_kl,
+    eval_nss,
+    eval_sim,
+)
 from .metrics_np import auc_borji_np, auc_shuffled_np
 
 log = get_logger("eval")
@@ -64,7 +73,10 @@ SHUFF_SIZE = {
 def _device_metrics(pred, true, jitter_key):
     """One fused batched pass: KLD, CC, NSS, SIM, AUC-Judd. `jitter_key`
     randomly breaks AUC-Judd ties — real salmaps are uint8 and massively
-    tied, and the reference always jitters (utils_score_torch.py:76-79)."""
+    tied, and the reference always jitters (utils_score_torch.py:76-79).
+    Accepts uint8 inputs (shipped 4x cheaper, converted on-chip)."""
+    pred = pred.astype(jnp.float32)
+    true = true.astype(jnp.float32)
     return (
         eval_kl(pred, true),
         eval_cc(pred, true),
@@ -72,6 +84,41 @@ def _device_metrics(pred, true, jitter_key):
         eval_sim(pred, true),
         eval_auc_judd(pred, true, jitter_key=jitter_key),
     )
+
+
+_device_auc_sweep = jax.jit(eval_auc_sweep)
+
+
+def _bucket(n: int, step: int = 256) -> int:
+    """Round up to a bucket size so NF shapes (and compiles) stay few."""
+    return max(step, -(-n // step) * step)
+
+
+def _borji_neg_idx(gt_pts_batch, n_pix: int, n_rep: int, rng):
+    """Uniform-over-pixels negative indices + per-frame valid-row counts
+    (host side of device AUC-Borji; distribution matches metrics_np)."""
+    n_fix = [(f > 0.5).sum() for f in gt_pts_batch]
+    nf = _bucket(int(max(n_fix)) if n_fix else 1)
+    idx = rng.randint(0, n_pix, (len(gt_pts_batch), nf, n_rep))
+    return idx.astype(np.int32), np.asarray(n_fix, np.int32)
+
+
+def _shuffled_neg_idx(gt_pts_batch, shufmaps, n_rep: int, rng):
+    """Negative indices drawn from other-video fixation locations
+    (host side of device shuffled-AUC; reference utils_score_torch.py:134-164)."""
+    b = len(gt_pts_batch)
+    ks, inds = [], []
+    for f, sm in zip(gt_pts_batch, shufmaps):
+        ind = np.flatnonzero(sm)
+        n_fix = int((f > 0.5).sum())
+        ks.append(min(n_fix, ind.size))
+        inds.append(ind)
+    nf = _bucket(int(max(ks)) if ks else 1)
+    idx = np.zeros((b, nf, n_rep), np.int32)
+    for i, (ind, k) in enumerate(zip(inds, ks)):
+        if k:
+            idx[i, :k] = ind[rng.randint(0, ind.size, (k, n_rep))]
+    return idx, np.asarray(ks, np.int32)
 
 
 def _jitter_key(rng: np.random.RandomState):
@@ -146,15 +193,20 @@ def build_shuffle_map(fixs_dir: str, dataset: str = "", size=None, maxframes: fl
 
 
 def _score_video(salmap, fixmap, fixpts, all_fix_pts, keys_order, batch_size, rng,
-                 fixed_shufmap=None):
+                 fixed_shufmap=None, device_auc: bool = True):
     """(T, len(keys)) score matrix for one video. `fixed_shufmap`: use one
-    dataset-wide sAUC negative map instead of per-frame samples."""
+    dataset-wide sAUC negative map instead of per-frame samples.
+    `device_auc`: run AUC-Borji/shuffled batched on device (host samples
+    only the negative indices); False keeps the reference-shaped host path."""
     import cv2
 
     nframes = min(salmap.shape[3], fixpts.shape[3], fixmap.shape[3])
     scores = np.zeros((nframes, len(keys_order)))
 
     # salmap -> GT resolution if needed (reference: utils_score_torch.py:529-536)
+    # Every metric is scale-invariant (sum-/std-normalized or rank-based),
+    # so uint8 inputs ship to the device as uint8 (4x less transfer) and
+    # convert to f32 on-chip; only the resize path needs host f32.
     if salmap.shape[:2] != fixmap.shape[:2]:
         sal = np.stack(
             [
@@ -166,16 +218,25 @@ def _score_video(salmap, fixmap, fixpts, all_fix_pts, keys_order, batch_size, rn
             ]
         )
     else:
-        sal = salmap[:, :, 0, :nframes].transpose(2, 0, 1).astype(np.float32)
+        sal = np.ascontiguousarray(salmap[:, :, 0, :nframes].transpose(2, 0, 1))
 
-    gt_map = fixmap[:, :, 0, :nframes].transpose(2, 0, 1).astype(np.float32)
-    gt_pts = fixpts[:, :, 0, :nframes].transpose(2, 0, 1).astype(np.float32)
+    gt_map = np.ascontiguousarray(fixmap[:, :, 0, :nframes].transpose(2, 0, 1))
+    gt_pts = np.ascontiguousarray(fixpts[:, :, 0, :nframes].transpose(2, 0, 1))
 
     pred = sal[..., None]
-    true = np.stack([gt_map, gt_pts], axis=-1)
+    if gt_map.dtype == gt_pts.dtype:
+        true = np.stack([gt_map, gt_pts], axis=-1)
+    else:
+        true = np.stack(
+            [gt_map.astype(np.float32), gt_pts.astype(np.float32)], axis=-1
+        )
+
+    need_borji = device_auc and "AUC_Borji" in keys_order
+    need_shuf = device_auc and "AUC_shuffled" in keys_order
+    n_pix = sal.shape[1] * sal.shape[2]
 
     # device metrics, batched
-    kl, cc, nss, sim, aucj = [], [], [], [], []
+    kl, cc, nss, sim, aucj, borji, shuf = [], [], [], [], [], [], []
     for b in range(0, nframes, batch_size):
         p = jnp.asarray(pred[b : b + batch_size])
         t = jnp.asarray(true[b : b + batch_size])
@@ -185,6 +246,23 @@ def _score_video(salmap, fixmap, fixpts, all_fix_pts, keys_order, batch_size, rn
         nss.append(np.asarray(r[2]))
         sim.append(np.asarray(r[3]))
         aucj.append(np.asarray(r[4]))
+        pts_b = gt_pts[b : b + batch_size]
+        if need_borji:
+            idx, nv = _borji_neg_idx(pts_b, n_pix, 100, rng)
+            borji.append(np.asarray(
+                _device_auc_sweep(p, t, jnp.asarray(idx), jnp.asarray(nv))
+            ))
+        if need_shuf:
+            shufmaps = [
+                fixed_shufmap
+                if fixed_shufmap is not None
+                else sample_shufmap(all_fix_pts, size=sal.shape[1:], rng=rng)
+                for _ in range(len(pts_b))
+            ]
+            idx, nv = _shuffled_neg_idx(pts_b, shufmaps, 100, rng)
+            shuf.append(np.asarray(
+                _device_auc_sweep(p, t, jnp.asarray(idx), jnp.asarray(nv))
+            ))
     device_vals = {
         "KLD": np.concatenate(kl),
         "CC": np.concatenate(cc),
@@ -192,6 +270,10 @@ def _score_video(salmap, fixmap, fixpts, all_fix_pts, keys_order, batch_size, rn
         "SIM": np.concatenate(sim),
         "AUC_Judd": np.concatenate(aucj),
     }
+    if need_borji:
+        device_vals["AUC_Borji"] = np.concatenate(borji)
+    if need_shuf:
+        device_vals["AUC_shuffled"] = np.concatenate(shuf)
 
     for k, key in enumerate(keys_order):
         if key in device_vals:
@@ -226,6 +308,7 @@ def evalscores_vid(
     keys_order: Sequence[str] = KEYS_ORDER,
     batch_size: int = 32,
     rng: Optional[np.random.RandomState] = None,
+    device_auc: bool = True,
 ) -> None:
     """Main eval driver (reference: utils_score_torch.py:473-582)."""
     rng = rng or np.random.RandomState()
@@ -262,7 +345,8 @@ def evalscores_vid(
             fixmap = loadmat(os.path.join(maps_dir, file_name + "_fixMaps.mat"), "fixMap")
             fixpts = loadmat(os.path.join(fixs_dir, file_name + "_fixPts.mat"), "fixLoc")
             iscores = _score_video(
-                salmap, fixmap, fixpts, all_fix_pts, keys_order, batch_size, rng
+                salmap, fixmap, fixpts, all_fix_pts, keys_order, batch_size, rng,
+                device_auc=device_auc,
             )
             savemat(iscore_path, {"iscore": iscores})
             log.info(
@@ -279,6 +363,7 @@ def evalscores_vid_sum(
     keys_order: Sequence[str] = KEYS_ORDER,
     batch_size: int = 32,
     rng: Optional[np.random.RandomState] = None,
+    device_auc: bool = True,
 ) -> None:
     """Sum-shufmap eval variant: one dataset-wide summed fixation map as the
     sAUC negative set, cached to `Shuffle_<DS>.mat`
@@ -320,7 +405,7 @@ def evalscores_vid_sum(
                 ishufmap = resize_fixation(ishufmap, fixpts.shape[0], fixpts.shape[1])
             iscores = _score_video(
                 salmap, fixmap, fixpts, [], keys_order, batch_size, rng,
-                fixed_shufmap=ishufmap,
+                fixed_shufmap=ishufmap, device_auc=device_auc,
             )
             savemat(iscore_path, {"iscore": iscores})
             log.info(

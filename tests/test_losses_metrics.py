@@ -257,3 +257,81 @@ def test_auc_judd_tied_uint8_jitter_parity():
     np.testing.assert_allclose(
         dev.mean(), ref.mean(), atol=3 * ref.std() / np.sqrt(n_seeds) + 1e-3
     )
+
+
+def test_device_auc_sweep_matches_numpy_borji():
+    """eval_auc_sweep == auc_borji_np given the SAME negative samples (the
+    fixed threshold grid is area-equivalent to the data-dependent one)."""
+    from iip_uavsal_saliency_tpu.evaluation.metrics_jax import eval_auc_sweep
+    from iip_uavsal_saliency_tpu.evaluation.metrics_np import _norm01, _sweep_auc
+
+    rng = np.random.RandomState(0)
+    B, H, W, R = 3, 24, 32, 7
+    s = rng.rand(B, H, W).astype(np.float32)
+    f = (rng.rand(B, H, W) > 0.93).astype(np.float32)
+
+    NF = 64
+    neg_idx = np.zeros((B, NF, R), np.int32)
+    n_valid = np.zeros(B, np.int32)
+    want = []
+    for i in range(B):
+        sn = _norm01(s[i]).ravel()
+        fix = f[i].ravel() > 0.5
+        n_fix = int(fix.sum())
+        r = rng.randint(0, sn.size, (n_fix, R))
+        neg_idx[i, :n_fix] = r
+        n_valid[i] = n_fix
+        want.append(_sweep_auc(sn[fix], sn[r], n_fix, n_fix))
+
+    pred = jnp.asarray(s[..., None])
+    true = jnp.asarray(np.stack([f, f], axis=-1))
+    got = np.asarray(
+        eval_auc_sweep(pred, true, jnp.asarray(neg_idx), jnp.asarray(n_valid))
+    )
+    np.testing.assert_allclose(got, np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+def test_device_auc_sweep_nan_rules():
+    from iip_uavsal_saliency_tpu.evaluation.metrics_jax import eval_auc_sweep
+
+    B, H, W, NF, R = 3, 8, 8, 16, 5
+    rng = np.random.RandomState(1)
+    s = rng.rand(B, H, W).astype(np.float32)
+    f = (rng.rand(B, H, W) > 0.8).astype(np.float32)
+    s[1] = 0.0     # all-zero saliency -> NaN
+    f[2] = 0.0     # no fixations -> NaN
+    neg = rng.randint(0, H * W, (B, NF, R)).astype(np.int32)
+    nv = np.array([int((f[i] > 0.5).sum()) for i in range(B)], np.int32)
+    got = np.asarray(eval_auc_sweep(
+        jnp.asarray(s[..., None]), jnp.asarray(np.stack([f, f], -1)),
+        jnp.asarray(neg), jnp.asarray(nv),
+    ))
+    assert np.isfinite(got[0])
+    assert np.isnan(got[1]) and np.isnan(got[2])
+
+
+def test_scorer_device_auc_close_to_host():
+    """Full _score_video: device-AUC columns statistically match the host
+    path (different RNG draws -> Monte-Carlo tolerance)."""
+    from iip_uavsal_saliency_tpu.evaluation.scorer import _score_video
+
+    rng = np.random.RandomState(3)
+    H, W, T = 36, 48, 6
+    yy, xx = np.mgrid[0:H, 0:W]
+    blob = np.exp(-(((yy - H / 2) / 8.0) ** 2 + ((xx - W / 2) / 10.0) ** 2))
+    sal = np.stack([(blob * 255 + rng.rand(H, W)).astype(np.float32)] * T, -1)
+    salmap = sal[:, :, None, :].astype(np.uint8)
+    pts = np.zeros((H, W, 1, T), np.uint8)
+    for t in range(T):
+        ys = np.clip(rng.normal(H / 2, 6, 30).astype(int), 0, H - 1)
+        xs = np.clip(rng.normal(W / 2, 8, 30).astype(int), 0, W - 1)
+        pts[ys, xs, 0, t] = 1
+    fmap = pts.astype(np.float32) * 255.0
+
+    keys = ["AUC_Borji", "AUC_shuffled"]
+    pool = [np.stack([rng.rand(20), rng.rand(20)], 1) for _ in range(25)]
+    dev = _score_video(salmap, fmap, pts, pool, keys, 8,
+                       np.random.RandomState(11), device_auc=True)
+    host = _score_video(salmap, fmap, pts, pool, keys, 8,
+                        np.random.RandomState(11), device_auc=False)
+    np.testing.assert_allclose(dev.mean(0), host.mean(0), atol=0.05)
