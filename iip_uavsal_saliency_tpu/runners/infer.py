@@ -124,11 +124,7 @@ def test_videos(
     s = batch_size * time_dims
     v_per = max(1, videos_per_batch)
 
-    for g0 in range(0, len(file_names), v_per):
-        group = file_names[g0 : g0 + v_per]
-        log.info("videos %d-%d/%d: %s", g0 + 1, g0 + len(group), len(file_names), group)
-        t0 = time.time()
-
+    def _decode_group(group):
         decoded = []
         for name in group:
             vidimgs, nframes, height, width = preprocess_videos(
@@ -142,64 +138,87 @@ def test_videos(
                     "writing an empty salmap", name, nframes, time_dims,
                 )
             decoded.append((name, vidimgs[:total], total, height, width))
+        return decoded
 
-        v = len(decoded)
-        max_total = max(d[2] for d in decoded)
-        state = model.init_state(shape_r, shape_c, v)
-        if compute_dtype is not None:
-            state = state.astype(compute_dtype)
-        sals = [
-            np.zeros((d[2], shape_r_out, shape_c_out), np.float32) for d in decoded
-        ]
+    # decode group g+1 on a worker thread while group g runs inference
+    # (cv2 releases the GIL during decode; one group in flight bounds RAM)
+    from concurrent.futures import ThreadPoolExecutor
 
-        def build_clip(start):
-            clip = np.zeros((v, s) + decoded[0][1].shape[1:], np.uint8)
-            for i, (_, imgs, total, _, _) in enumerate(decoded):
-                if total == 0:  # too short for one clip: stays zeros
-                    continue
-                chunk = imgs[start : start + s]
-                if chunk.shape[0] == 0:  # exhausted video: repeat last frame
-                    chunk = np.repeat(imgs[-1:], s, 0)
-                elif chunk.shape[0] < s:
-                    chunk = np.concatenate(
-                        [chunk, np.repeat(chunk[-1:], s - chunk.shape[0], 0)], 0
-                    )
-                clip[i] = chunk
-            return clip
+    groups = [file_names[g0 : g0 + v_per] for g0 in range(0, len(file_names), v_per)]
+    pool = ThreadPoolExecutor(max_workers=1)
+    try:
+        future = pool.submit(_decode_group, groups[0]) if groups else None
+        for gi, group in enumerate(groups):
+            g0 = gi * v_per
+            log.info("videos %d-%d/%d: %s", g0 + 1, g0 + len(group), len(file_names), group)
+            t0 = time.time()
 
-        def scatter(out_dev, start):
-            out = np.asarray(out_dev, np.float32)  # blocks on step `start`
-            for i, (_, _, total, _, _) in enumerate(decoded):
-                n_valid = min(s, max(0, total - start))
-                if n_valid:
-                    sals[i][start : start + n_valid] = out[i, :n_valid, :, :, 0]
+            decoded = future.result()
+            future = (
+                pool.submit(_decode_group, groups[gi + 1])
+                if gi + 1 < len(groups)
+                else None
+            )
 
-        # 3-stage pipeline: ship k+1 and drain k-1 while k computes
-        starts = list(range(0, max_total, s))
-        next_clip = jax.device_put(build_clip(starts[0])) if starts else None
-        pending = None  # (device saliency, start) of the previous step
-        for k, start in enumerate(starts):
-            out_dev, state = infer_step(
-                params, batch_stats, next_clip, gauss, ob, state
-            )  # async dispatch: returns immediately
-            if k + 1 < len(starts):
-                next_clip = jax.device_put(build_clip(starts[k + 1]))
+            v = len(decoded)
+            max_total = max(d[2] for d in decoded)
+            state = model.init_state(shape_r, shape_c, v)
+            if compute_dtype is not None:
+                state = state.astype(compute_dtype)
+            sals = [
+                np.zeros((d[2], shape_r_out, shape_c_out), np.float32) for d in decoded
+            ]
+
+            def build_clip(start):
+                clip = np.zeros((v, s) + decoded[0][1].shape[1:], np.uint8)
+                for i, (_, imgs, total, _, _) in enumerate(decoded):
+                    if total == 0:  # too short for one clip: stays zeros
+                        continue
+                    chunk = imgs[start : start + s]
+                    if chunk.shape[0] == 0:  # exhausted video: repeat last frame
+                        chunk = np.repeat(imgs[-1:], s, 0)
+                    elif chunk.shape[0] < s:
+                        chunk = np.concatenate(
+                            [chunk, np.repeat(chunk[-1:], s - chunk.shape[0], 0)], 0
+                        )
+                    clip[i] = chunk
+                return clip
+
+            def scatter(out_dev, start):
+                out = np.asarray(out_dev, np.float32)  # blocks on step `start`
+                for i, (_, _, total, _, _) in enumerate(decoded):
+                    n_valid = min(s, max(0, total - start))
+                    if n_valid:
+                        sals[i][start : start + n_valid] = out[i, :n_valid, :, :, 0]
+
+            # 3-stage pipeline: ship k+1 and drain k-1 while k computes
+            starts = list(range(0, max_total, s))
+            next_clip = jax.device_put(build_clip(starts[0])) if starts else None
+            pending = None  # (device saliency, start) of the previous step
+            for k, start in enumerate(starts):
+                out_dev, state = infer_step(
+                    params, batch_stats, next_clip, gauss, ob, state
+                )  # async dispatch: returns immediately
+                if k + 1 < len(starts):
+                    next_clip = jax.device_put(build_clip(starts[k + 1]))
+                if pending is not None:
+                    scatter(*pending)
+                pending = (out_dev, start)
             if pending is not None:
                 scatter(*pending)
-            pending = (out_dev, start)
-        if pending is not None:
-            scatter(*pending)
 
-        for (name, _, total, height, width), sal in zip(decoded, sals):
-            pred_mat = np.zeros((height, width, 1, total), np.uint8)
-            for t in range(total):
-                pred_mat[:, :, 0, t] = im2uint8(
-                    postprocess_prediction(sal[t], height, width)
-                )
-            keep = int(min(total, save_frames))
-            out_file = os.path.join(output_path, os.path.splitext(name)[0] + ".mat")
-            savemat(out_file, {"salmap": pred_mat[:, :, :, :keep]})
+            for (name, _, total, height, width), sal in zip(decoded, sals):
+                pred_mat = np.zeros((height, width, 1, total), np.uint8)
+                for t in range(total):
+                    pred_mat[:, :, 0, t] = im2uint8(
+                        postprocess_prediction(sal[t], height, width)
+                    )
+                keep = int(min(total, save_frames))
+                out_file = os.path.join(output_path, os.path.splitext(name)[0] + ".mat")
+                savemat(out_file, {"salmap": pred_mat[:, :, :, :keep]})
 
-        frames = sum(d[2] for d in decoded)
-        fps = frames / max(time.time() - t0, 1e-9)
-        log.info("  %d frames in %.2fs (%.1f FPS end-to-end)", frames, time.time() - t0, fps)
+            frames = sum(d[2] for d in decoded)
+            fps = frames / max(time.time() - t0, 1e-9)
+            log.info("  %d frames in %.2fs (%.1f FPS end-to-end)", frames, time.time() - t0, fps)
+    finally:
+        pool.shutdown(wait=False)
