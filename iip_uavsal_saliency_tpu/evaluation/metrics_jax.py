@@ -146,7 +146,9 @@ def eval_auc_sweep(y_pred, y_true, neg_idx, n_valid, step_size=0.1):
     fp = jnp.concatenate([zeros, fp, ones], axis=1)
     auc = jnp.trapezoid(tp, fp, axis=1).mean(axis=1)
 
-    valid = (n_fix > 0) & (jnp.max(s_raw, axis=1) > 0) & (n_valid > 0)
+    # matches the host rule, which checks np.any(s > 0) AFTER norm01: a
+    # constant frame (max == min) normalizes to zeros and must be NaN
+    valid = (n_fix > 0) & (smax[:, 0] > smin[:, 0]) & (n_valid > 0)
     return jnp.where(valid, auc, jnp.nan)
 
 

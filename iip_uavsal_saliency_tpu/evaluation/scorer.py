@@ -103,19 +103,19 @@ def _borji_neg_idx(gt_pts_batch, n_pix: int, n_rep: int, rng):
     return idx.astype(np.int32), np.asarray(n_fix, np.int32)
 
 
-def _shuffled_neg_idx(gt_pts_batch, shufmaps, n_rep: int, rng):
+def _shuffled_neg_idx(gt_pts_batch, shuf_inds, n_rep: int, rng):
     """Negative indices drawn from other-video fixation locations
-    (host side of device shuffled-AUC; reference utils_score_torch.py:134-164)."""
+    (host side of device shuffled-AUC; reference utils_score_torch.py:134-164).
+    `shuf_inds`: per-frame flat index arrays of the shufmap's fixations
+    (precompute once when the shufmap is fixed for the whole video)."""
     b = len(gt_pts_batch)
-    ks, inds = [], []
-    for f, sm in zip(gt_pts_batch, shufmaps):
-        ind = np.flatnonzero(sm)
+    ks = []
+    for f, ind in zip(gt_pts_batch, shuf_inds):
         n_fix = int((f > 0.5).sum())
         ks.append(min(n_fix, ind.size))
-        inds.append(ind)
     nf = _bucket(int(max(ks)) if ks else 1)
     idx = np.zeros((b, nf, n_rep), np.int32)
-    for i, (ind, k) in enumerate(zip(inds, ks)):
+    for i, (ind, k) in enumerate(zip(shuf_inds, ks)):
         if k:
             idx[i, :k] = ind[rng.randint(0, ind.size, (k, n_rep))]
     return idx, np.asarray(ks, np.int32)
@@ -224,16 +224,15 @@ def _score_video(salmap, fixmap, fixpts, all_fix_pts, keys_order, batch_size, rn
     gt_pts = np.ascontiguousarray(fixpts[:, :, 0, :nframes].transpose(2, 0, 1))
 
     pred = sal[..., None]
-    if gt_map.dtype == gt_pts.dtype:
-        true = np.stack([gt_map, gt_pts], axis=-1)
-    else:
-        true = np.stack(
-            [gt_map.astype(np.float32), gt_pts.astype(np.float32)], axis=-1
-        )
+    true = np.stack([gt_map, gt_pts], axis=-1)  # numpy promotion handles dtypes
 
     need_borji = device_auc and "AUC_Borji" in keys_order
     need_shuf = device_auc and "AUC_shuffled" in keys_order
     n_pix = sal.shape[1] * sal.shape[2]
+    # fixed shufmap: its fixation index set is the same for every frame
+    fixed_shuf_ind = (
+        np.flatnonzero(fixed_shufmap) if need_shuf and fixed_shufmap is not None else None
+    )
 
     # device metrics, batched
     kl, cc, nss, sim, aucj, borji, shuf = [], [], [], [], [], [], []
@@ -253,13 +252,13 @@ def _score_video(salmap, fixmap, fixpts, all_fix_pts, keys_order, batch_size, rn
                 _device_auc_sweep(p, t, jnp.asarray(idx), jnp.asarray(nv))
             ))
         if need_shuf:
-            shufmaps = [
-                fixed_shufmap
-                if fixed_shufmap is not None
-                else sample_shufmap(all_fix_pts, size=sal.shape[1:], rng=rng)
+            shuf_inds = [
+                fixed_shuf_ind
+                if fixed_shuf_ind is not None
+                else np.flatnonzero(sample_shufmap(all_fix_pts, size=sal.shape[1:], rng=rng))
                 for _ in range(len(pts_b))
             ]
-            idx, nv = _shuffled_neg_idx(pts_b, shufmaps, 100, rng)
+            idx, nv = _shuffled_neg_idx(pts_b, shuf_inds, 100, rng)
             shuf.append(np.asarray(
                 _device_auc_sweep(p, t, jnp.asarray(idx), jnp.asarray(nv))
             ))

@@ -141,11 +141,15 @@ def test_videos(
         return decoded
 
     # decode group g+1 on a worker thread while group g runs inference
-    # (cv2 releases the GIL during decode; one group in flight bounds RAM)
+    # (cv2 releases the GIL during decode). NOTE: this keeps up to TWO
+    # decoded groups resident — peak host RAM is ~2x the sequential path
+    # (a 5000-frame 360x640 group is ~3.5 GB); lower videos_per_batch /
+    # save_frames if that's too much.
     from concurrent.futures import ThreadPoolExecutor
 
     groups = [file_names[g0 : g0 + v_per] for g0 in range(0, len(file_names), v_per)]
     pool = ThreadPoolExecutor(max_workers=1)
+    future = None
     try:
         future = pool.submit(_decode_group, groups[0]) if groups else None
         for gi, group in enumerate(groups):
@@ -221,4 +225,8 @@ def test_videos(
             fps = frames / max(time.time() - t0, 1e-9)
             log.info("  %d frames in %.2fs (%.1f FPS end-to-end)", frames, time.time() - t0, fps)
     finally:
-        pool.shutdown(wait=False)
+        # cancel the queued decode on error; surface a worker exception that
+        # would otherwise be silently dropped when the main loop dies first
+        pool.shutdown(wait=False, cancel_futures=True)
+        if future is not None and future.done() and future.exception() is not None:
+            log.error("prefetch decode failed: %s", future.exception())

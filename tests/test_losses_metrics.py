@@ -335,3 +335,23 @@ def test_scorer_device_auc_close_to_host():
     host = _score_video(salmap, fmap, pts, pool, keys, 8,
                         np.random.RandomState(11), device_auc=False)
     np.testing.assert_allclose(dev.mean(0), host.mean(0), atol=0.05)
+
+
+def test_device_auc_sweep_constant_frame_is_nan():
+    """Constant nonzero saliency normalizes to zeros -> NaN, matching the
+    host rule which checks np.any(s > 0) AFTER norm01."""
+    from iip_uavsal_saliency_tpu.evaluation.metrics_jax import eval_auc_sweep
+    from iip_uavsal_saliency_tpu.evaluation.metrics_np import auc_borji_np
+
+    B, H, W, NF, R = 1, 8, 8, 16, 5
+    rng = np.random.RandomState(2)
+    s = np.full((B, H, W), 128.0, np.float32)
+    f = (rng.rand(B, H, W) > 0.7).astype(np.float32)
+    neg = rng.randint(0, H * W, (B, NF, R)).astype(np.int32)
+    nv = np.array([int((f[0] > 0.5).sum())], np.int32)
+    got = np.asarray(eval_auc_sweep(
+        jnp.asarray(s[..., None]), jnp.asarray(np.stack([f, f], -1)),
+        jnp.asarray(neg), jnp.asarray(nv),
+    ))
+    assert np.isnan(got[0])
+    assert np.isnan(auc_borji_np(s[0], f[0], rng=rng))  # host agrees
