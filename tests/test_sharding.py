@@ -290,3 +290,24 @@ def test_train_step_dp_seq_tp_combined():
         jax.device_put(y, data_sharding(mesh, 5, seq_axis=1)),
     )
     _assert_step_matches(ref, got)
+
+
+def test_make_mesh_rejects_oversized_factors():
+    with pytest.raises(ValueError):
+        make_mesh(n_data=16)  # 16 > 8 devices
+    with pytest.raises(ValueError):
+        # default n_data floors to 0 -> explicit error, not a 0-device mesh
+        make_mesh(n_spatial=16)
+
+
+def test_partitionable_model_forces_xla_twa():
+    from iip_uavsal_saliency_tpu.parallel.steps import _partitionable_model
+
+    mesh = make_mesh(n_data=8)
+    m = _partitionable_model(UAVSal(time_dims=5), mesh)
+    assert m.twa_pallas is False
+    m = _partitionable_model(UAVSal(time_dims=5, twa_pallas=True), mesh)
+    assert m.twa_pallas is False  # explicit True is overridden for correctness
+    single = make_mesh(n_data=1)
+    m = _partitionable_model(UAVSal(time_dims=5), single)
+    assert m.twa_pallas is None  # single-device mesh: auto stays
