@@ -466,8 +466,39 @@ def _score_image(salmap, fixmap, fixpts, keys_order, shufmap, rng):
     return row
 
 
+def _score_image_batch(sals, fmaps, fpts, keys_order, shufmaps, rng):
+    """(B, len(keys)) scores for same-shaped images, all 7 metrics batched
+    on device (images with any degenerate input get a NaN row)."""
+    pred = np.stack(sals)[..., None].astype(np.float32)
+    true = np.stack(
+        [np.stack(fmaps), np.stack(fpts)], axis=-1
+    ).astype(np.float32)
+    p, t = jnp.asarray(pred), jnp.asarray(true)
+    r = _device_metrics(p, t, _jitter_key(rng))
+    device_vals = dict(zip(["KLD", "CC", "NSS", "SIM", "AUC_Judd"],
+                           (np.asarray(a) for a in r)))
+    n_pix = pred.shape[1] * pred.shape[2]
+    if "AUC_Borji" in keys_order:
+        idx, nv = _borji_neg_idx(list(np.stack(fpts)), n_pix, 100, rng)
+        device_vals["AUC_Borji"] = np.asarray(
+            _device_auc_sweep(p, t, jnp.asarray(idx), jnp.asarray(nv))
+        )
+    if "AUC_shuffled" in keys_order:
+        shuf_inds = [np.flatnonzero(sm) for sm in shufmaps]
+        idx, nv = _shuffled_neg_idx(list(np.stack(fpts)), shuf_inds, 100, rng)
+        device_vals["AUC_shuffled"] = np.asarray(
+            _device_auc_sweep(p, t, jnp.asarray(idx), jnp.asarray(nv))
+        )
+    scores = np.stack([device_vals[k] for k in keys_order], axis=1)
+    for i in range(len(sals)):
+        if not (np.any(sals[i]) and np.any(fmaps[i]) and np.any(fpts[i])):
+            scores[i, :] = np.nan
+    return scores
+
+
 def _evalscores_img_common(
-    data_dir, res_dir, method_names, keys_order, rng, shufmap_for, score_subdir
+    data_dir, res_dir, method_names, keys_order, rng, shufmap_for, score_subdir,
+    device_auc: bool = True, batch_size: int = 32,
 ):
     maps_dir = os.path.join(data_dir, "maps")
     sals_dir = os.path.join(res_dir, "Saliency")
@@ -486,15 +517,37 @@ def _evalscores_img_common(
         fixs_dir = os.path.join(data_dir, "fixations", "maps")
 
         scores = np.zeros((len(sal_names), len(keys_order)))
+        batch: List = []  # (row_idx, sal, fmap, fpts, shufmap)
+
+        def flush():
+            if not batch:
+                return
+            idxs = [b[0] for b in batch]
+            scores[idxs] = _score_image_batch(
+                [b[1] for b in batch], [b[2] for b in batch],
+                [b[3] for b in batch], keys_order, [b[4] for b in batch], rng,
+            )
+            batch.clear()
+
         for n_idx, name in enumerate(sal_names):
             salmap = cv2.imread(os.path.join(salmap_dir, name), -1) / 255.0
             fixmap = cv2.imread(os.path.join(maps_dir, name), -1) / 255.0
             fixpts = np.asarray(
                 loadmat(os.path.join(fixs_dir, name[:-4] + ".mat"), "I")
             )
-            scores[n_idx] = _score_image(
-                salmap, fixmap, fixpts, keys_order, shufmap_for(fixpts), rng
-            )
+            if not device_auc:
+                scores[n_idx] = _score_image(
+                    salmap, fixmap, fixpts, keys_order, shufmap_for(fixpts), rng
+                )
+                continue
+            # batch same-shaped images; flush on shape change (SALICON is
+            # uniform 480x640, so in practice this is one batch per chunk)
+            if batch and batch[-1][1].shape != salmap.shape:
+                flush()
+            batch.append((n_idx, salmap, fixmap, fixpts, shufmap_for(fixpts)))
+            if len(batch) >= batch_size:
+                flush()
+        flush()
         savemat(score_path, {"scores": scores})
         log.info("%s: %d images scored", method, len(sal_names))
 
@@ -506,6 +559,7 @@ def evalscores_img(
     method_names: Sequence[str],
     keys_order: Sequence[str] = KEYS_ORDER,
     rng: Optional[np.random.RandomState] = None,
+    device_auc: bool = True,
 ) -> None:
     """Image eval driver, per-image random shufmaps from the dataset fixation
     pool cached to `ALLFixPts_<DS>.npy` (reference: utils_score.py:629-682)."""
@@ -526,7 +580,8 @@ def evalscores_img(
         return sample_shufmap(all_fix_pts, size=fixpts.shape, rng=rng)
 
     _evalscores_img_common(
-        data_dir, res_dir, method_names, keys_order, rng, shufmap_for, "Scores"
+        data_dir, res_dir, method_names, keys_order, rng, shufmap_for, "Scores",
+        device_auc=device_auc,
     )
 
 
@@ -537,6 +592,7 @@ def evalscores_img_sum(
     method_names: Sequence[str],
     keys_order: Sequence[str] = KEYS_ORDER,
     rng: Optional[np.random.RandomState] = None,
+    device_auc: bool = True,
 ) -> None:
     """Image eval driver, one summed-fixation shufmap cached to
     `Shuffle_<DS>.mat` (reference: utils_score.py:570-627)."""

@@ -355,3 +355,38 @@ def test_device_auc_sweep_constant_frame_is_nan():
     ))
     assert np.isnan(got[0])
     assert np.isnan(auc_borji_np(s[0], f[0], rng=rng))  # host agrees
+
+
+def test_score_image_batch_close_to_host():
+    from iip_uavsal_saliency_tpu.evaluation.scorer import (
+        KEYS_ORDER, _score_image, _score_image_batch)
+
+    rng = np.random.RandomState(5)
+    H, W, B = 32, 40, 6
+    yy, xx = np.mgrid[0:H, 0:W]
+    blob = np.exp(-(((yy - H / 2) / 7.0) ** 2 + ((xx - W / 2) / 9.0) ** 2))
+    sals, fmaps, fpts, shufs = [], [], [], []
+    for _ in range(B):
+        sals.append((blob + rng.rand(H, W) * 0.05).astype(np.float64))
+        p = np.zeros((H, W))
+        ys = np.clip(rng.normal(H / 2, 5, 25).astype(int), 0, H - 1)
+        xs = np.clip(rng.normal(W / 2, 7, 25).astype(int), 0, W - 1)
+        p[ys, xs] = 1
+        fpts.append(p)
+        fmaps.append(p * 255.0)
+        sm = np.zeros((H, W))
+        sm[rng.randint(0, H, 60), rng.randint(0, W, 60)] = 1
+        shufs.append(sm)
+
+    got = _score_image_batch(sals, fmaps, fpts, KEYS_ORDER, shufs,
+                             np.random.RandomState(1))
+    want = np.stack([
+        _score_image(sals[i], fmaps[i], fpts[i], KEYS_ORDER, shufs[i],
+                     np.random.RandomState(1))
+        for i in range(B)
+    ])
+    assert got.shape == want.shape
+    # deterministic metrics agree tightly; sampling-based ones within MC noise
+    for k, key in enumerate(KEYS_ORDER):
+        tol = 0.05 if "AUC" in key else 1e-4
+        np.testing.assert_allclose(got[:, k], want[:, k], atol=tol, rtol=0.01)
