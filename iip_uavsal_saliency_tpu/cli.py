@@ -158,6 +158,7 @@ def cmd_eval(cfg: Config, methods: Optional[Sequence[str]]):
         cfg.test_dataset,
         methods,
         batch_size=cfg.eval_batch_size,
+        device_auc=cfg.device_auc,
     )
     means = mean_scores(cfg.test_result_path, methods)
     for m, scores in means.items():
@@ -170,7 +171,7 @@ def cmd_eval_img(cfg: Config, methods: Optional[Sequence[str]]):
     methods = methods or [cfg.method_name]
     data_dir = os.path.join(cfg.data_dir, "salicon-15", "val")
     res_dir = os.path.join(data_dir, "Results", f"Results_{cfg.method_name}")
-    evalscores_img(data_dir, res_dir, "SALICON", methods)
+    evalscores_img(data_dir, res_dir, "SALICON", methods, device_auc=cfg.device_auc)
     mean_scores_img(res_dir, methods)
 
 

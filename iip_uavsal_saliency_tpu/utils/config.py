@@ -51,6 +51,7 @@ class Config:
     mixed_precision: bool = False  # bf16 train compute, f32 masters (~2x)
     videos_per_batch: int = 1  # >1: batched multi-video inference
     serve_bf16: bool = True    # bf16 serving path for `test` (f32: parity)
+    device_auc: bool = True    # AUC-Borji/shuffled on device (False: host path)
 
     @property
     def ext(self) -> str:
