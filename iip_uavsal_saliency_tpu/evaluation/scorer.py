@@ -479,13 +479,13 @@ def _score_image_batch(sals, fmaps, fpts, keys_order, shufmaps, rng):
                            (np.asarray(a) for a in r)))
     n_pix = pred.shape[1] * pred.shape[2]
     if "AUC_Borji" in keys_order:
-        idx, nv = _borji_neg_idx(list(np.stack(fpts)), n_pix, 100, rng)
+        idx, nv = _borji_neg_idx(fpts, n_pix, 100, rng)
         device_vals["AUC_Borji"] = np.asarray(
             _device_auc_sweep(p, t, jnp.asarray(idx), jnp.asarray(nv))
         )
     if "AUC_shuffled" in keys_order:
         shuf_inds = [np.flatnonzero(sm) for sm in shufmaps]
-        idx, nv = _shuffled_neg_idx(list(np.stack(fpts)), shuf_inds, 100, rng)
+        idx, nv = _shuffled_neg_idx(fpts, shuf_inds, 100, rng)
         device_vals["AUC_shuffled"] = np.asarray(
             _device_auc_sweep(p, t, jnp.asarray(idx), jnp.asarray(nv))
         )
