@@ -80,14 +80,25 @@ class MultiPriors(nn.Module):
         cb_fu = []
         n_frames_parts = []
 
+        # Eval mode runs the prior convs ONCE and broadcasts (1/S FLOPs,
+        # identical outputs). Train mode runs them on the S frame-copies the
+        # reference feeds (model.py:349-353): batch statistics over copies
+        # are copy-count-invariant, but torch's running-var EMA applies the
+        # unbiased (n/(n-1)) correction with n = S*Ho*Wo — parity of the
+        # stored stats requires the same batch size. The prior streams are
+        # tiny (<<1% of trunk FLOPs), so this costs nothing measurable.
+        def _stream(prior):
+            p = prior[None]
+            return jnp.broadcast_to(p, (s,) + prior.shape) if train else p
+
         if use_gauss:
-            g = gauss_prior[None]  # (1, Ho, Wo, 8)
+            g = _stream(gauss_prior)  # (1|S, Ho, Wo, 8)
             g = DWBlock(CB_OUPLANES[0], 3, name="gauss_cb_layer_0")(g, train)
             g = DWBlock(CB_OUPLANES[0], 3, name="gauss_cb_layer_1")(g, train)
             cb_fu.append(jnp.broadcast_to(g, (s, ho, wo, CB_OUPLANES[0])))
 
         if use_ob:
-            o = ob_prior[None]  # (1, Ho, Wo, 20)
+            o = _stream(ob_prior)  # (1|S, Ho, Wo, 20)
             o = DWBlock(CB_OUPLANES[1], 3, name="ob_cb_layer_0")(o, train)
             o = DWBlock(CB_OUPLANES[1], 3, name="ob_cb_layer_1")(o, train)
             cb_fu.append(jnp.broadcast_to(o, (s, ho, wo, CB_OUPLANES[1])))

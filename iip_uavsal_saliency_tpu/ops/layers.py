@@ -15,8 +15,9 @@ Design notes (TPU):
   pointwise 1x1 convs lower to plain MXU matmuls over the channel axis.
 - Depthwise convs use `feature_group_count == channels`; XLA fuses the
   BN scale/shift and ReLU6 into the conv epilogue.
-- BatchNorm matches torch semantics: eps=1e-5, running-stat update factor 0.1
-  (flax momentum 0.9), biased variance for normalization.
+- BatchNorm matches torch semantics EXACTLY (TorchBatchNorm): eps=1e-5,
+  running-stat update factor 0.1 (flax momentum 0.9), biased variance for
+  normalization, UNBIASED variance in the running-stat EMA.
 """
 
 from __future__ import annotations
@@ -25,6 +26,7 @@ from typing import Callable, Optional, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
+from jax import lax
 
 from .initializers import make_conv_init
 
@@ -34,6 +36,70 @@ BN_MOMENTUM = 0.9  # flax convention: new = m*old + (1-m)*batch  (== torch 0.1)
 
 def relu6(x):
     return jnp.minimum(jnp.maximum(x, 0.0), 6.0)
+
+
+class TorchBatchNorm(nn.Module):
+    """BatchNorm with exact torch.nn.BatchNorm2d training semantics.
+
+    Differences from flax's nn.BatchNorm (which this otherwise mirrors —
+    same param/batch_stats variable layout: scale/bias + mean/var):
+    - the running-variance EMA accumulates the UNBIASED (ddof=1) batch
+      variance, as torch does, while normalization itself uses the biased
+      variance. flax feeds the biased variance to both, a small systematic
+      drift that the train-step parity test vs the reference's own torch
+      code (tests/test_reference_parity.py) would fail on.
+
+    Stats are reduced over all axes but the last (channel) axis, computed
+    single-pass (E[x^2] - E[x]^2) so XLA fuses them into one pass over the
+    input. Channel reductions are f32-accumulated by XLA on TPU even for
+    bf16 inputs.
+    """
+
+    use_running_average: bool = False
+    momentum: float = BN_MOMENTUM
+    epsilon: float = BN_EPS
+
+    @nn.compact
+    def __call__(self, x):
+        feat = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones_init(), (feat,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(), (feat,), jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda s: jnp.zeros(s, jnp.float32), (feat,)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda s: jnp.ones(s, jnp.float32), (feat,)
+        )
+        out_dtype = jnp.promote_types(x.dtype, scale.dtype)
+        # stats in at-least-f32 (as flax promotes); f64 under enable_x64
+        stat_dtype = jnp.promote_types(x.dtype, jnp.float32)
+        if self.use_running_average:
+            mean = ra_mean.value.astype(stat_dtype)
+            var = ra_var.value.astype(stat_dtype)
+        else:
+            red = tuple(range(x.ndim - 1))
+            xf = x.astype(stat_dtype)
+            mean = jnp.mean(xf, red)
+            # two-pass variance, NOT E[x^2]-E[x]^2: after ReLU6 the
+            # activations have mean >> std, and the fast form's cancellation
+            # error compounds across ~30 BN layers to ~1e-4 in the loss —
+            # measured against the reference's torch (two-pass) BN
+            var = jnp.mean(jnp.square(xf - mean), red)
+            if not self.is_initializing():
+                n = 1
+                for a in red:
+                    n *= x.shape[a]
+                m = self.momentum
+                bessel = n / max(n - 1, 1)  # torch: unbiased var in the EMA
+                ra_mean.value = (
+                    m * ra_mean.value.astype(stat_dtype) + (1 - m) * mean
+                ).astype(ra_mean.value.dtype)
+                ra_var.value = (
+                    m * ra_var.value.astype(stat_dtype) + (1 - m) * var * bessel
+                ).astype(ra_var.value.dtype)
+        y = (x.astype(stat_dtype) - mean) * lax.rsqrt(var + self.epsilon)
+        y = y * scale.astype(stat_dtype) + bias.astype(stat_dtype)
+        return y.astype(out_dtype)
 
 
 class ConvBNAct(nn.Module):
@@ -66,7 +132,7 @@ class ConvBNAct(nn.Module):
             kernel_init=make_conv_init(self.kernel_init_name, **kw),
             name="conv",
         )(x)
-        x = nn.BatchNorm(
+        x = TorchBatchNorm(
             use_running_average=not train,
             momentum=BN_MOMENTUM,
             epsilon=BN_EPS,
@@ -141,7 +207,7 @@ class DWBlock(nn.Module):
             kernel_init=make_conv_init(self.kernel_init_name, **kw),
             name="project",
         )
-        pbn_mod = nn.BatchNorm(
+        pbn_mod = TorchBatchNorm(
             use_running_average=not train,
             momentum=BN_MOMENTUM,
             epsilon=BN_EPS,
@@ -235,7 +301,7 @@ class ConvBNAct3D(nn.Module):
             kernel_init=make_conv_init(self.kernel_init_name, **kw),
             name="conv",
         )(x)
-        x = nn.BatchNorm(
+        x = TorchBatchNorm(
             use_running_average=not train,
             momentum=BN_MOMENTUM,
             epsilon=BN_EPS,

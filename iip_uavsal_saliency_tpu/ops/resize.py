@@ -25,15 +25,18 @@ import jax.numpy as jnp
 
 @lru_cache(maxsize=128)
 def interp_matrix_align_corners(n_in: int, n_out: int) -> np.ndarray:
-    """(n_out, n_in) bilinear matrix, align_corners=True convention."""
-    a = np.zeros((n_out, n_in), np.float32)
+    """(n_out, n_in) bilinear matrix, align_corners=True convention.
+
+    Built in float64 (cast to the input dtype at apply time) so the f64
+    reference-parity tests see full-precision interpolation weights."""
+    a = np.zeros((n_out, n_in), np.float64)
     if n_out == 1 or n_in == 1:
         a[:, 0] = 1.0
         return a
     src = np.arange(n_out, dtype=np.float64) * (n_in - 1) / (n_out - 1)
     lo = np.floor(src).astype(np.int64)
     lo = np.clip(lo, 0, n_in - 2)
-    frac = (src - lo).astype(np.float32)
+    frac = src - lo
     a[np.arange(n_out), lo] = 1.0 - frac
     a[np.arange(n_out), lo + 1] += frac
     return a
@@ -42,7 +45,7 @@ def interp_matrix_align_corners(n_in: int, n_out: int) -> np.ndarray:
 @lru_cache(maxsize=128)
 def interp_matrix_half_pixel(n_in: int, n_out: int) -> np.ndarray:
     """(n_out, n_in) bilinear matrix, half-pixel (cv2 INTER_LINEAR) convention."""
-    a = np.zeros((n_out, n_in), np.float32)
+    a = np.zeros((n_out, n_in), np.float64)
     if n_in == 1:
         a[:, 0] = 1.0
         return a
@@ -50,7 +53,7 @@ def interp_matrix_half_pixel(n_in: int, n_out: int) -> np.ndarray:
     src = np.clip(src, 0.0, n_in - 1)
     lo = np.floor(src).astype(np.int64)
     lo = np.clip(lo, 0, n_in - 2)
-    frac = (src - lo).astype(np.float32)
+    frac = src - lo
     a[np.arange(n_out), lo] = 1.0 - frac
     a[np.arange(n_out), lo + 1] += frac
     return a
