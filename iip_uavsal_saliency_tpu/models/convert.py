@@ -167,70 +167,138 @@ def convert_vgg16_backbone(sd: Mapping[str, Any], prefix: str = "") -> Params:
     return params
 
 
+def _t3(w) -> np.ndarray:
+    """torch conv3d OIDHW -> flax DHWIO."""
+    w = np.asarray(w)
+    return w.transpose(2, 3, 4, 1, 0)
+
+
+def _basic3d(sd, prefix) -> Tuple[Params, Stats]:
+    """BasicConv3d stored as Sequential(conv3d, bn3d, relu6): keys `<p>.0/.1`
+    (reference: model.py:383-390)."""
+    params = {
+        "conv": {"kernel": _t3(_get(sd, prefix + ".0.weight"))},
+        "bn": {
+            "scale": _get(sd, prefix + ".1.weight"),
+            "bias": _get(sd, prefix + ".1.bias"),
+        },
+    }
+    stats = {
+        "bn": {
+            "mean": _get(sd, prefix + ".1.running_mean"),
+            "var": _get(sd, prefix + ".1.running_var"),
+        }
+    }
+    return params, stats
+
+
+def _convert_sfnet(sd: Mapping[str, Any], prefix: str = "sfnet.") -> Tuple[Params, Stats]:
+    """SRF-Net subtree: backbone pyramid + laterals + ASPP
+    (reference: model.py:106-160 `uavsal_srfnet_aspp`)."""
+    params: Params = {}
+    stats: Stats = {}
+    bp, bs = convert_mobilenet_v2_backbone(sd, prefix=f"{prefix}features.")
+    params["features"], stats["features"] = bp, bs
+    for name in ("conv_lv3", "conv_lv4", "lv5_aspp1", "conv_lv5", "conv_last"):
+        p, s = _basic(sd, f"{prefix}{name}")
+        params[name], stats[name] = p, s
+    for name in ("lv5_aspp2", "lv5_aspp3", "lv5_aspp4"):
+        p, s = _dwblock(sd, f"{prefix}{name}")
+        params[name], stats[name] = p, s
+    return params, stats
+
+
+def _convert_teconv(sd, prefix) -> Tuple[Params, Stats]:
+    """teConv_sub: reduce 1x1 -> diff dwBlock -> expand 1x1
+    (reference: model.py:173-208)."""
+    p: Params = {}
+    s: Stats = {}
+    pp, ss = _basic(sd, f"{prefix}.reduce_conv")
+    p["reduce_conv"], s["reduce_conv"] = pp, ss
+    pp, ss = _dwblock(sd, f"{prefix}.sub_conv")
+    p["sub_conv"], s["sub_conv"] = pp, ss
+    pp, ss = _basic(sd, f"{prefix}.last_conv")
+    p["last_conv"], s["last_conv"] = pp, ss
+    return p, s
+
+
+def _convert_stblock(sd, prefix, kind: str = "st") -> Tuple[Params, Stats]:
+    """One ST block of any ordering/3D kind. The reference's orderings share
+    submodule names (stconv_sp/stconv_te/stconv_last, model.py:210-249 and
+    :392-478); the 3D kinds use BasicConv3d (:480-556)."""
+    blk_p: Params = {}
+    blk_s: Stats = {}
+    if kind in ("st", "s2t", "t2s", "s_s2t"):
+        p, s = _dwblock(sd, f"{prefix}.stconv_sp.spconv")
+        blk_p["stconv_sp"] = {"spconv": p}
+        blk_s["stconv_sp"] = {"spconv": s}
+        p, s = _convert_teconv(sd, f"{prefix}.stconv_te")
+        blk_p["stconv_te"], blk_s["stconv_te"] = p, s
+        p, s = _basic(sd, f"{prefix}.stconv_last")
+        blk_p["stconv_last"], blk_s["stconv_last"] = p, s
+    elif kind == "stc3d":
+        p, s = _basic3d(sd, f"{prefix}.stconv_te")
+        blk_p["stconv_te"], blk_s["stconv_te"] = p, s
+    elif kind == "stc2_3d":
+        p, s = _basic(sd, f"{prefix}.stconv_sp")
+        blk_p["stconv_sp"], blk_s["stconv_sp"] = p, s
+        p, s = _basic3d(sd, f"{prefix}.stconv_te")
+        blk_p["stconv_te"], blk_s["stconv_te"] = p, s
+        p, s = _basic(sd, f"{prefix}.stconv_last")
+        blk_p["stconv_last"], blk_s["stconv_last"] = p, s
+    else:
+        raise ValueError(kind)
+    return blk_p, blk_s
+
+
+def _convert_trunk(sd, num_stblock: int, st_kind: str = "st") -> Tuple[Params, Stats]:
+    """The shared trunk tree: sfnet + st_layer_{i} + fust_layer."""
+    params: Params = {}
+    stats: Stats = {}
+    params["sfnet"], stats["sfnet"] = _convert_sfnet(sd)
+    for i in range(num_stblock):
+        p, s = _convert_stblock(sd, f"st_layer.{i}", st_kind)
+        params[f"st_layer_{i}"], stats[f"st_layer_{i}"] = p, s
+    p, s = _dwblock(sd, "fust_layer.0")
+    params["fust_layer"], stats["fust_layer"] = p, s
+    return params, stats
+
+
+def _convert_mp(sd, bias_type) -> Tuple[Params, Stats]:
+    """MP-Net prior streams + fusion (reference: model.py:281-324)."""
+    params: Params = {}
+    stats: Stats = {}
+    use_gauss, use_ob, use_cxt = [bool(b) for b in bias_type]
+    if use_gauss:
+        for j in range(2):
+            p, s = _dwblock(sd, f"gauss_cb_layer.{j}")
+            params[f"gauss_cb_layer_{j}"], stats[f"gauss_cb_layer_{j}"] = p, s
+    if use_ob:
+        for j in range(2):
+            p, s = _dwblock(sd, f"ob_cb_layer.{j}")
+            params[f"ob_cb_layer_{j}"], stats[f"ob_cb_layer_{j}"] = p, s
+    if use_cxt:
+        for j in range(2):
+            p, s = _dwblock(sd, f"cxt_cb_prior.{j}")
+            params[f"cxt_cb_prior_{j}"], stats[f"cxt_cb_prior_{j}"] = p, s
+    if use_gauss or use_ob or use_cxt:
+        p, s = _dwblock(sd, "fucb_layer.0")
+        params["fucb_layer"], stats["fucb_layer"] = p, s
+        p, s = _dwblock(sd, "fucbst_layer.0")
+        params["fucbst_layer"], stats["fucbst_layer"] = p, s
+    return params, stats
+
+
 def convert_uavsal_state_dict(
     sd: Mapping[str, Any],
     num_stblock: int = 2,
     bias_type=(1, 1, 1),
 ) -> Dict[str, Any]:
     """Full reference UAVSal state_dict -> {'params': ..., 'batch_stats': ...}."""
-    params: Params = {"trunk": {"sfnet": {}}, "mp": {}}
-    stats: Stats = {"trunk": {"sfnet": {}}, "mp": {}}
-
-    # backbone
-    bp, bs = convert_mobilenet_v2_backbone(sd, prefix="sfnet.features.")
-    params["trunk"]["sfnet"]["features"] = bp
-    stats["trunk"]["sfnet"]["features"] = bs
-
-    # SRF-Net laterals + ASPP
-    for name in ("conv_lv3", "conv_lv4", "lv5_aspp1", "conv_lv5", "conv_last"):
-        p, s = _basic(sd, f"sfnet.{name}")
-        params["trunk"]["sfnet"][name], stats["trunk"]["sfnet"][name] = p, s
-    for name in ("lv5_aspp2", "lv5_aspp3", "lv5_aspp4"):
-        p, s = _dwblock(sd, f"sfnet.{name}")
-        params["trunk"]["sfnet"][name], stats["trunk"]["sfnet"][name] = p, s
-
-    # ST blocks
-    for i in range(num_stblock):
-        blk_p: Params = {}
-        blk_s: Stats = {}
-        p, s = _dwblock(sd, f"st_layer.{i}.stconv_sp.spconv")
-        blk_p["stconv_sp"] = {"spconv": p}
-        blk_s["stconv_sp"] = {"spconv": s}
-        te_p: Params = {}
-        te_s: Stats = {}
-        p, s = _basic(sd, f"st_layer.{i}.stconv_te.reduce_conv")
-        te_p["reduce_conv"], te_s["reduce_conv"] = p, s
-        p, s = _dwblock(sd, f"st_layer.{i}.stconv_te.sub_conv")
-        te_p["sub_conv"], te_s["sub_conv"] = p, s
-        p, s = _basic(sd, f"st_layer.{i}.stconv_te.last_conv")
-        te_p["last_conv"], te_s["last_conv"] = p, s
-        blk_p["stconv_te"], blk_s["stconv_te"] = te_p, te_s
-        p, s = _basic(sd, f"st_layer.{i}.stconv_last")
-        blk_p["stconv_last"], blk_s["stconv_last"] = p, s
-        params["trunk"][f"st_layer_{i}"], stats["trunk"][f"st_layer_{i}"] = blk_p, blk_s
-
-    p, s = _dwblock(sd, "fust_layer.0")
-    params["trunk"]["fust_layer"], stats["trunk"]["fust_layer"] = p, s
-
-    # MP-Net
-    use_gauss, use_ob, use_cxt = [bool(b) for b in bias_type]
-    if use_gauss:
-        for j in range(2):
-            p, s = _dwblock(sd, f"gauss_cb_layer.{j}")
-            params["mp"][f"gauss_cb_layer_{j}"], stats["mp"][f"gauss_cb_layer_{j}"] = p, s
-    if use_ob:
-        for j in range(2):
-            p, s = _dwblock(sd, f"ob_cb_layer.{j}")
-            params["mp"][f"ob_cb_layer_{j}"], stats["mp"][f"ob_cb_layer_{j}"] = p, s
-    if use_cxt:
-        for j in range(2):
-            p, s = _dwblock(sd, f"cxt_cb_prior.{j}")
-            params["mp"][f"cxt_cb_prior_{j}"], stats["mp"][f"cxt_cb_prior_{j}"] = p, s
-    if use_gauss or use_ob or use_cxt:
-        p, s = _dwblock(sd, "fucb_layer.0")
-        params["mp"]["fucb_layer"], stats["mp"]["fucb_layer"] = p, s
-        p, s = _dwblock(sd, "fucbst_layer.0")
-        params["mp"]["fucbst_layer"], stats["mp"]["fucbst_layer"] = p, s
+    params: Params = {}
+    stats: Stats = {}
+    params["trunk"], stats["trunk"] = _convert_trunk(sd, num_stblock)
+    params["mp"], stats["mp"] = _convert_mp(sd, bias_type)
 
     # TWA recurrence: single conv over concat([x, h])
     params["rnn"] = {"kernel": _t(_get(sd, "rnn.cell_list.0.rnn_conv.weight"))}
@@ -238,6 +306,62 @@ def convert_uavsal_state_dict(
     p, s = _dwblock(sd, "conv_out_st")
     params["conv_out_st"], stats["conv_out_st"] = p, s
 
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_zoo_state_dict(
+    model_name: str,
+    sd: Mapping[str, Any],
+    num_stblock: int = 2,
+    bias_type=(1, 1, 1),
+    st_type: str = "st",
+) -> Dict[str, Any]:
+    """Reference ablation-zoo state_dict -> our variables, for every
+    MODEL_ZOO name (reference classes: model.py:582-1076).
+
+    Tree layouts:
+    - uavsal_spconv / uavsal_teconv: flat sfnet/st_layer_{i}/fust_layer
+      (reference: model.py:582-662 — st_layer.{i} is the block itself);
+    - uavsal_stblocks[_type] / stc3d / stc2_3d: trunk/... + conv_out_st;
+    - uavsal_mp adds mp/...; uavsal_lstm adds mp/... + rnn (gate conv at
+      rnn.cell_list.0.rnn_conv, order i,f,o,g — model_convlstm.py:103-121).
+    """
+    name = model_name.lower()
+    params: Params = {}
+    stats: Stats = {}
+
+    if name == "uavsal":
+        return convert_uavsal_state_dict(sd, num_stblock, bias_type)
+
+    if name in ("uavsal_spconv", "uavsal_teconv"):
+        params["sfnet"], stats["sfnet"] = _convert_sfnet(sd)
+        for i in range(num_stblock):
+            if name == "uavsal_spconv":
+                p, s = _dwblock(sd, f"st_layer.{i}")
+            else:
+                p, s = _convert_teconv(sd, f"st_layer.{i}")
+            params[f"st_layer_{i}"], stats[f"st_layer_{i}"] = p, s
+        p, s = _dwblock(sd, "fust_layer.0")
+        params["fust_layer"], stats["fust_layer"] = p, s
+    else:
+        st_kind = {
+            "uavsal_stblocks": "st",
+            "uavsal_stblocks_type": st_type,
+            "uavsal_stc3d": "stc3d",
+            "uavsal_stc2_3d": "stc2_3d",
+            "uavsal_mp": "st",
+            "uavsal_lstm": "st",
+        }[name]
+        params["trunk"], stats["trunk"] = _convert_trunk(sd, num_stblock, st_kind)
+        if name in ("uavsal_mp", "uavsal_lstm"):
+            params["mp"], stats["mp"] = _convert_mp(sd, bias_type)
+        if name == "uavsal_lstm":
+            params["rnn"] = {
+                "kernel": _t(_get(sd, "rnn.cell_list.0.rnn_conv.weight"))
+            }
+
+    p, s = _dwblock(sd, "conv_out_st")
+    params["conv_out_st"], stats["conv_out_st"] = p, s
     return {"params": params, "batch_stats": stats}
 
 
