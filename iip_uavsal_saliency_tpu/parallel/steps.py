@@ -27,10 +27,24 @@ from ..training.losses import loss_fu
 from .mesh import data_sharding, replicated
 
 
+def _data_only_mesh(mesh) -> bool:
+    """True when every non-'data' axis has size 1 — the pure data-parallel
+    case, where each device holds whole videos and the model is
+    embarrassingly parallel (eval mode: no cross-video op exists)."""
+    if mesh is None:
+        return False
+    d = dict(mesh.shape)
+    return all(d.get(a, 1) == 1 for a in d if a != "data")
+
+
 def _partitionable_model(model, mesh):
     """Force the XLA TWA scan on multi-device meshes: the fused Pallas
     kernel's custom call has no GSPMD partitioning rule, so a sharded jit
-    over it cannot compile. Overrides even an explicit twa_pallas=True."""
+    over it cannot compile. Overrides even an explicit twa_pallas=True.
+
+    (make_infer_step's data-parallel shard_map path does NOT go through
+    this — inside shard_map each device runs a single-device program, so
+    the fused kernel composes with DP serving; see make_infer_step.)"""
     if (
         mesh is not None
         and getattr(mesh, "size", 1) > 1
@@ -225,13 +239,22 @@ def make_infer_step(model, mesh=None, out_dtype=None, compute_dtype=None,
 
     `compute_dtype=jnp.bfloat16` runs the serving path: activations in bf16
     (params should be pre-cast), which also enables the fused Pallas TWA
-    kernel on a single TPU (on a >1-device mesh the partitionable XLA scan
-    is forced instead — see _partitionable_model). The saliency output is
-    returned in f32 unless out_dtype says otherwise. `donate_state=True`
-    donates the carried recurrent state buffer (arg 5) — the serving loop
-    overwrites it every step, so XLA can reuse the allocation; don't pass a
-    state you intend to reuse."""
-    model = _partitionable_model(model, mesh)
+    kernel. On a pure data-parallel mesh (every non-'data' axis of size 1)
+    the step is built as a `jax.shard_map` over 'data': each device runs
+    the complete single-device program on its own videos — zero
+    collectives (eval mode has no cross-video op), and the Pallas kernel
+    runs unmodified per-device, so multi-chip DP serving keeps the fused
+    kernel instead of paying the XLA-scan fallback. On meshes that also
+    shard 'spatial'/'seq'/'model', GSPMD jit is used and the partitionable
+    XLA scan is forced (the kernel's custom call has no GSPMD rule — see
+    _partitionable_model). The saliency output is returned in f32 unless
+    out_dtype says otherwise. `donate_state=True` donates the carried
+    recurrent state buffer (arg 5) — the serving loop overwrites it every
+    step, so XLA can reuse the allocation; don't pass a state you intend
+    to reuse."""
+    dp_shard_map = mesh is not None and mesh.size > 1 and _data_only_mesh(mesh)
+    if not dp_shard_map:
+        model = _partitionable_model(model, mesh)
     from ..data.letterbox import IMAGENET_MEAN, IMAGENET_STD
 
     mean = jnp.asarray(IMAGENET_MEAN)
@@ -252,6 +275,19 @@ def make_infer_step(model, mesh=None, out_dtype=None, compute_dtype=None,
     donate = (5,) if donate_state else ()
     if mesh is None:
         return jax.jit(step, donate_argnums=donate)
+    if dp_shard_map:
+        from jax.sharding import PartitionSpec as P
+
+        rep_spec = P()
+        x_spec = P("data", None, None, None, None)
+        s_spec = P("data", None, None, None)
+        sm = jax.shard_map(
+            step,
+            mesh=mesh,
+            in_specs=(rep_spec, rep_spec, x_spec, rep_spec, rep_spec, s_spec),
+            out_specs=(x_spec, s_spec),
+        )
+        return jax.jit(sm, donate_argnums=donate)
     xs = data_sharding(mesh, 5, spatial_axis=2, seq_axis=1)
     ss = data_sharding(mesh, 4, spatial_axis=1)
     rep = replicated(mesh)
