@@ -43,6 +43,18 @@ def decode_video(path: str, max_frames: float = float("inf")) -> Tuple[np.ndarra
     return frames, nframes, height, width
 
 
+def probe_nframes(path: str) -> int:
+    """Frame count from the container header only — no decode. Used to
+    length-bucket multi-video training groups (like-length videos share a
+    group, so padded fully-masked clips are rare)."""
+    if cv2 is None:
+        raise RuntimeError("OpenCV (cv2) required for video probe")
+    cap = cv2.VideoCapture(path)
+    n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    cap.release()
+    return n
+
+
 def preprocess_videos(
     path: str,
     shape_r: int,

@@ -39,7 +39,8 @@ import numpy as np
 from ..data.letterbox import normalize_frames
 from ..data.lists import read_video_list
 from ..data.priors import get_gauss_priors, get_ob_priors
-from ..data.video import preprocess_videos, preprocess_vidfixs, preprocess_vidmaps
+from ..data.video import (preprocess_videos, preprocess_vidfixs,
+                          preprocess_vidmaps, probe_nframes)
 from ..models import UAVSal
 from ..parallel.steps import TrainState, create_train_state, make_eval_step, make_train_step
 from ..utils.logging import get_logger
@@ -290,13 +291,25 @@ class Trainer:
         'data' axis when a Mesh is given (a capability the single-GPU
         reference lacks). Videos shorter than the group's longest are
         right-padded with repeated clips whose loss mask is zero, so one
-        compiled program serves every group."""
+        compiled program serves every group.
+
+        Groups are LENGTH-BUCKETED: videos are stably sorted by header frame
+        count (probe_nframes — no decode) before grouping, so like-length
+        videos share a group and padded fully-masked clips are rare. A
+        shuffled epoch stays shuffled *within* equal lengths (stable sort),
+        and each video still contributes exactly its own clips, so per-video
+        losses are order-independent."""
         cfg = self.cfg
         v_per = cfg.videos_per_step
         shape_r, shape_c = cfg.iosize[:2]
+        triples = list(zip(videos, vidmaps, vidfixs))
+        try:
+            triples.sort(key=lambda t: min(probe_nframes(t[0]), max_frames))
+        except Exception:  # unreadable header: keep list order
+            log.warning("length-bucketing skipped: frame-count probe failed")
         run_loss, num_step = 0.0, 0
         for g0 in range(0, len(videos), v_per):
-            group = list(zip(videos, vidmaps, vidfixs))[g0 : g0 + v_per]
+            group = triples[g0 : g0 + v_per]
             log.info("%s videos %d-%d/%d", phase, g0 + 1, g0 + len(group), len(videos))
             clip_lists = [self._video_clips(vp, mp, fp, max_frames) for vp, mp, fp in group]
             # pad the group itself (last group may be short): duplicate the
