@@ -88,6 +88,42 @@ def _device_metrics(pred, true, jitter_key):
 
 _device_auc_sweep = jax.jit(eval_auc_sweep)
 
+_DISPATCH_PROBE_MS: Optional[float] = None
+
+
+def device_dispatch_ms() -> float:
+    """Measured host->device->host scalar round-trip latency (ms), cached.
+
+    Through a remote-relay device the RTT is tens of ms and dominates
+    shipping small image batches, making the batched device path SLOWER than
+    per-image host scoring (docs/PERF.md "honest caveat"); locally it is
+    <1 ms and the device path wins. The image eval drivers auto-select on
+    this. Sync is a value fetch, not block_until_ready (which returns early
+    through the relay — docs/PERF.md "Measurement integrity")."""
+    global _DISPATCH_PROBE_MS
+    if _DISPATCH_PROBE_MS is None:
+        x = jnp.ones((8, 8), jnp.float32)
+        float(jnp.sum(x))  # compile + warm
+        times = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            float(jnp.sum(x))
+            times.append((time.perf_counter() - t0) * 1e3)
+        _DISPATCH_PROBE_MS = min(times)
+    return _DISPATCH_PROBE_MS
+
+
+def _resolve_img_device_auc(device_auc: Optional[bool]) -> bool:
+    """None = auto: batched device scoring only when dispatch latency says
+    the device is local (relay RTT would make it a regression)."""
+    if device_auc is not None:
+        return device_auc
+    ms = device_dispatch_ms()
+    use = ms < 2.0
+    log.info("image eval auto-select: dispatch=%.2fms -> %s path",
+             ms, "device-batched" if use else "per-image host")
+    return use
+
 
 def _bucket(n: int, step: int = 256) -> int:
     """Round up to a bucket size so NF shapes (and compiles) stay few."""
@@ -498,8 +534,9 @@ def _score_image_batch(sals, fmaps, fpts, keys_order, shufmaps, rng):
 
 def _evalscores_img_common(
     data_dir, res_dir, method_names, keys_order, rng, shufmap_for, score_subdir,
-    device_auc: bool = True, batch_size: int = 32,
+    device_auc: Optional[bool] = None, batch_size: int = 32,
 ):
+    device_auc = _resolve_img_device_auc(device_auc)
     maps_dir = os.path.join(data_dir, "maps")
     sals_dir = os.path.join(res_dir, "Saliency")
     score_dir = os.path.join(res_dir, score_subdir)
@@ -517,7 +554,7 @@ def _evalscores_img_common(
         fixs_dir = os.path.join(data_dir, "fixations", "maps")
 
         scores = np.zeros((len(sal_names), len(keys_order)))
-        batch: List = []  # (row_idx, sal, fmap, fpts, shufmap)
+        batch: List = []  # (row_idx, sal, fmap, fpts, shufmap, shape_key)
 
         def flush():
             if not batch:
@@ -541,10 +578,13 @@ def _evalscores_img_common(
                 )
                 continue
             # batch same-shaped images; flush on shape change (SALICON is
-            # uniform 480x640, so in practice this is one batch per chunk)
-            if batch and batch[-1][1].shape != salmap.shape:
+            # uniform 480x640, so in practice this is one batch per chunk).
+            # The key covers ALL three inputs: a same-shaped salmap with a
+            # differently-shaped fixmap/fixpts must not share a np.stack.
+            shape_key = (salmap.shape, fixmap.shape, fixpts.shape)
+            if batch and batch[-1][5] != shape_key:
                 flush()
-            batch.append((n_idx, salmap, fixmap, fixpts, shufmap_for(fixpts)))
+            batch.append((n_idx, salmap, fixmap, fixpts, shufmap_for(fixpts), shape_key))
             if len(batch) >= batch_size:
                 flush()
         flush()
@@ -559,7 +599,7 @@ def evalscores_img(
     method_names: Sequence[str],
     keys_order: Sequence[str] = KEYS_ORDER,
     rng: Optional[np.random.RandomState] = None,
-    device_auc: bool = True,
+    device_auc: Optional[bool] = None,
 ) -> None:
     """Image eval driver, per-image random shufmaps from the dataset fixation
     pool cached to `ALLFixPts_<DS>.npy` (reference: utils_score.py:629-682)."""
@@ -592,7 +632,7 @@ def evalscores_img_sum(
     method_names: Sequence[str],
     keys_order: Sequence[str] = KEYS_ORDER,
     rng: Optional[np.random.RandomState] = None,
-    device_auc: bool = True,
+    device_auc: Optional[bool] = None,
 ) -> None:
     """Image eval driver, one summed-fixation shufmap cached to
     `Shuffle_<DS>.mat` (reference: utils_score.py:570-627)."""
@@ -615,7 +655,8 @@ def evalscores_img_sum(
         return shufmap
 
     _evalscores_img_common(
-        data_dir, res_dir, method_names, keys_order, rng, shufmap_for, "Scores_sum"
+        data_dir, res_dir, method_names, keys_order, rng, shufmap_for, "Scores_sum",
+        device_auc=device_auc,
     )
 
 

@@ -256,6 +256,11 @@ def supports_fused_dwblock(x_shape, dtype, kernel_size: int, stride: int,
         return False
     if c < 64 or e < 128:  # tiny blocks: XLA's fused path is already fine
         return False
+    # narrow outputs (e.g. the 1-channel head) have only been validated in
+    # interpreter mode; Mosaic lane tiling of the (E, features) w2 block
+    # needs a full 128-lane output tile on real TPU
+    if features % 128 != 0:
+        return False
     pw = _round_up(w + 2, 8)
     itemsize = 2
     vmem = (

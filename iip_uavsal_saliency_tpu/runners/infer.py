@@ -228,5 +228,11 @@ def test_videos(
         # cancel the queued decode on error; surface a worker exception that
         # would otherwise be silently dropped when the main loop dies first
         pool.shutdown(wait=False, cancel_futures=True)
-        if future is not None and future.done() and future.exception() is not None:
-            log.error("prefetch decode failed: %s", future.exception())
+        if future is not None:
+            future.cancel()
+            try:
+                exc = future.exception(timeout=30)
+            except Exception:  # still running or cancelled: nothing to report
+                exc = None
+            if exc is not None:
+                log.error("prefetch decode failed: %s", exc)

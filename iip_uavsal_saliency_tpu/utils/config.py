@@ -51,7 +51,10 @@ class Config:
     mixed_precision: bool = False  # bf16 train compute, f32 masters (~2x)
     videos_per_batch: int = 1  # >1: batched multi-video inference
     serve_bf16: bool = True    # bf16 serving path for `test` (f32: parity)
-    device_auc: bool = True    # AUC-Borji/shuffled on device (False: host path)
+    # AUC-Borji/shuffled on device (False: host path). None = default: device
+    # for video eval (measured 5.5x), auto-probe for image eval (the relay
+    # RTT makes batched image shipping a regression — scorer.device_dispatch_ms)
+    device_auc: Optional[bool] = None
 
     @property
     def ext(self) -> str:
@@ -109,6 +112,9 @@ def load_config(path: Optional[str] = None, argv: Optional[Sequence[str]] = None
                     val = float(raw)
                 elif ftype in ("bool", bool):
                     val = raw.lower() in ("1", "true", "yes")
+                elif "Optional[bool]" in str(ftype):  # tri-state: auto/true/false
+                    val = (None if raw.lower() in ("none", "auto")
+                           else raw.lower() in ("1", "true", "yes"))
                 else:
                     val = raw
                 updates[key] = val
