@@ -135,13 +135,15 @@ class ResNetPyramid(nn.Module):
         x = ConvBNAct(64, kernel_size=7, stride=2, act=nn.relu, name="stem")(x, train)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         outs = [x]
-        ch = 64
         for i, n in enumerate(layers):
             stride = 1 if i == 0 else 2
+            planes = 64 * (2 ** i)  # 64/128/256/512 per stage (x expansion)
             for b in range(n):
-                x = block(ch * expansion, stride=stride if b == 0 else 1, name=f"layer{i + 1}_{b}")(
-                    x, train
-                )
+                x = block(
+                    planes * expansion,
+                    stride=stride if b == 0 else 1,
+                    name=f"layer{i + 1}_{b}",
+                )(x, train)
             outs.append(x)
         return tuple(outs)
 

@@ -235,6 +235,65 @@ def test_train_multivideo_dp(video_dataset, tmp_path_factory):
             f.write("vid_a\n")
 
 
+def test_multivideo_length_bucketing(video_dataset, tmp_path_factory, monkeypatch):
+    """Multi-video groups are length-bucketed: with a 16-frame video listed
+    FIRST, list-order grouping would pair it with an 8-frame video (half the
+    group fully-masked padding); the stable sort by header frame count pairs
+    the two 8-frame videos instead and leaves the long one to the padded
+    last group. Per-video clip streams are unchanged by ordering (each video
+    contributes exactly its own clips), so losses are order-independent."""
+    rng = np.random.RandomState(9)
+    name = "vid_long"
+    _write_long = os.path.join(video_dataset, "Videos", name + ".avi")
+    fourcc = cv2.VideoWriter_fourcc(*"DIVX")
+    wr = cv2.VideoWriter(_write_long, fourcc, 10, (NATIVE_W, NATIVE_H), isColor=True)
+    for _ in range(2 * NFRAMES):
+        wr.write(rng.randint(0, 255, (NATIVE_H, NATIVE_W, 3), np.uint8))
+    wr.release()
+    fmap = np.zeros((NATIVE_H, NATIVE_W, 1, 2 * NFRAMES), np.uint8)
+    floc = np.zeros((NATIVE_H, NATIVE_W, 1, 2 * NFRAMES), np.uint8)
+    fmap[10, 10] = 255
+    floc[10, 10] = 1
+    savemat(os.path.join(video_dataset, "maps", name + "_fixMaps.mat"), {"fixMap": fmap})
+    savemat(
+        os.path.join(video_dataset, "fixations", "maps", name + "_fixPts.mat"),
+        {"fixLoc": floc},
+    )
+    with open(os.path.join(video_dataset, "txt", "train.txt"), "w") as f:
+        f.write("vid_long\nvid_a\nvid_b\n")  # long FIRST: list order would waste a group
+    try:
+        cfg = TrainConfig(
+            method_name="TinyBucket",
+            iosize=IOSIZE,
+            time_dims=TIME_DIMS,
+            batch_size=1,
+            epochs=1,
+            bias_type=(1, 0, 1),
+            freeze=(),
+            is_early_stop=False,
+            videos_per_step=2,
+            shuffle_train=False,
+        )
+        trainer = Trainer(
+            cfg, video_dataset, "UAV2", str(tmp_path_factory.mktemp("w_bucket")),
+            ext=".avi", priors_cache_dir=str(tmp_path_factory.mktemp("p_bucket")),
+        )
+        seen = []
+        orig = trainer._video_clips
+
+        def spy(vp, mp, fp, max_frames):
+            seen.append(os.path.basename(vp))
+            return orig(vp, mp, fp, max_frames)
+
+        monkeypatch.setattr(trainer, "_video_clips", spy)
+        monkeypatch.setattr(trainer, "_step", lambda phase, x, y, st: (0.0, st))
+        trainer._run_epoch("train")
+        assert seen == ["vid_a.avi", "vid_b.avi", "vid_long.avi"], seen
+    finally:
+        with open(os.path.join(video_dataset, "txt", "train.txt"), "w") as f:
+            f.write("vid_a\n")
+
+
 def test_train_resume(trained, video_dataset, tmp_path_factory):
     """resume=True restores the latest epoch checkpoint and skips completed
     epochs (SURVEY §5: mid-training resume the reference lacks)."""
@@ -324,3 +383,58 @@ def test_visual_vid_frames(trained, video_dataset, tmp_path_factory):
     assert sorted(os.listdir(out)) == [
         "vid_a_f00000.png", "vid_a_f00003.png", "vid_b_f00000.png", "vid_b_f00003.png",
     ]
+
+
+def test_training_overfits_synthetic(video_dataset, tmp_path_factory):
+    """The training loop LEARNS: repeated epochs on one synthetic video drive
+    the composite loss well below its starting value (the reference's whole
+    purpose — Demo_Train_Test.py:155-174 trains to early-stop). Guards
+    against sign/masking bugs that still 'run fine'."""
+    from iip_uavsal_saliency_tpu.training.trainer import TrainConfig, Trainer
+
+    cfg = TrainConfig(
+        method_name="OverfitUAVSal",
+        iosize=IOSIZE,
+        time_dims=TIME_DIMS,
+        batch_size=1,
+        epochs=1,
+        bias_type=(1, 0, 1),
+        freeze=(),
+        is_early_stop=False,
+        learning_rate=1e-3,  # overfit fast; parity is tested elsewhere
+        shuffle_train=False,
+    )
+    trainer = Trainer(
+        cfg, video_dataset, "UAV2", str(tmp_path_factory.mktemp("w_overfit")),
+        ext=".avi", priors_cache_dir=str(tmp_path_factory.mktemp("p_overfit")),
+    )
+    means = [trainer._run_epoch("train") for _ in range(8)]
+    assert np.isfinite(means).all()
+    assert means[-1] < means[0] - 0.5, f"no learning: {means}"
+    assert min(means[-2:]) < min(means[:2]), f"loss not descending: {means}"
+
+
+def test_training_descends_loss_kl(video_dataset, tmp_path_factory):
+    """The loss_kl training path (PER_FRAME registry) also descends."""
+    from iip_uavsal_saliency_tpu.training.trainer import TrainConfig, Trainer
+
+    cfg = TrainConfig(
+        method_name="KLUAVSal",
+        iosize=IOSIZE,
+        time_dims=TIME_DIMS,
+        batch_size=1,
+        epochs=1,
+        bias_type=(1, 0, 1),
+        freeze=(),
+        is_early_stop=False,
+        learning_rate=1e-3,
+        shuffle_train=False,
+        loss_name="kl",
+    )
+    trainer = Trainer(
+        cfg, video_dataset, "UAV2", str(tmp_path_factory.mktemp("w_kl")),
+        ext=".avi", priors_cache_dir=str(tmp_path_factory.mktemp("p_kl")),
+    )
+    means = [trainer._run_epoch("train") for _ in range(5)]
+    assert np.isfinite(means).all()
+    assert means[-1] < means[0], f"loss_kl not descending: {means}"

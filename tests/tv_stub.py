@@ -268,6 +268,11 @@ def install():
     ]
     for n in res.__all__:
         setattr(res, n, _unavailable(n))
+    res.ResNet = ResNet
+    for n, f in (("resnet18", resnet18), ("resnet34", resnet34),
+                 ("resnet50", resnet50), ("resnet101", resnet101),
+                 ("resnet152", resnet152)):
+        setattr(res, n, f)
 
     vgg = types.ModuleType("torchvision.models.vgg")
     vgg.__all__ = [
@@ -276,6 +281,8 @@ def install():
     ]
     for n in vgg.__all__:
         setattr(vgg, n, _unavailable(n))
+    vgg.VGG = VGG
+    vgg.vgg16 = vgg16
 
     models.mobilenet, models.resnet, models.vgg = mob, res, vgg
     tv.models = models
