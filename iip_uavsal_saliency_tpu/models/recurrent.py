@@ -69,10 +69,11 @@ class ConvTWA(nn.Module):
     use_pallas=False to force the scan. Anywhere the kernel is unsupported
     (CPU, f32, non-3x3 gates) the XLA scan with the hoisted input conv runs.
 
-    Multi-chip note: the kernel's custom call has no GSPMD partitioning
-    rule yet — when jitting over a >1-device mesh, build the model with
-    use_pallas/twa_pallas=False (the Trainer and dryrun do this) so the
-    recurrence stays partitionable.
+    Multi-chip note: the kernel carries a custom_partitioning rule that
+    shards the video (V) axis — data-parallel meshes run it unmodified
+    per shard. Meshes sharding seq/spatial/model axes would all-gather
+    activations at the kernel boundary, so there the XLA scan is forced
+    instead (parallel/steps._partitionable_model does this).
     """
 
     hidden_dim: int = 256

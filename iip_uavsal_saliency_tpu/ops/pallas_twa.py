@@ -211,15 +211,84 @@ def supports_pallas(x_shape, dtype) -> bool:
     return state_bytes + kern_bytes + block_bytes < 12 * 1024 * 1024
 
 
+# --------------------------------------------------------------------------- #
+# GSPMD partitioning: the pallas_call lowers to a custom call XLA cannot
+# partition by itself, so under a >1-device mesh a sharded jit over the raw
+# kernel fails. `twa_scan_sharded` registers a custom_partitioning rule: the
+# scan is embarrassingly parallel over videos (V, dim 0), so V-sharded
+# operands run the unmodified kernel per-shard; every other dim is declared
+# replicated at the call boundary (GSPMD inserts the reshard — correct, but
+# an all-gather, so callers on seq/spatial-sharded meshes should prefer the
+# partitionable XLA scan; see parallel/steps._partitionable_model).
+
+
+def _dim0_spec(arg_info):
+    """Mesh axes sharding dim 0 of an operand (None if unsharded)."""
+    spec = getattr(arg_info.sharding, "spec", None)
+    if spec is None or len(spec) == 0:
+        return None
+    return spec[0]
+
+
+def _twa_infer_sharding(mesh, arg_infos, result_infos):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    v = _dim0_spec(arg_infos[0])
+    return (
+        NamedSharding(mesh, P(v, None, None, None, None)),
+        NamedSharding(mesh, P(v, None, None, None)),
+    )
+
+
+def _twa_partition(mesh, arg_infos, result_infos):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    v = _dim0_spec(arg_infos[0])
+    if v is not None:
+        names = (v,) if isinstance(v, str) else tuple(v)
+        axis_size = 1
+        for n in names:
+            axis_size *= mesh.shape[n]
+        if axis_size <= 0 or arg_infos[0].shape[0] % axis_size != 0:
+            v = None  # uneven split: replicate (each shard runs the full batch)
+    x5 = NamedSharding(mesh, P(v, None, None, None, None))
+    x4 = NamedSharding(mesh, P(v, None, None, None))
+    rep = NamedSharding(mesh, P(None, None, None))
+
+    def lower(x, gx, w_h, h0):
+        return twa_scan_pallas(x, gx, w_h, h0)
+
+    return mesh, lower, (x5, x4), (x5, x5, rep, x4)
+
+
+from jax.experimental.custom_partitioning import custom_partitioning  # noqa: E402
+
+
+@custom_partitioning
+def twa_scan_sharded(x, gx, w_h, h0):
+    return twa_scan_pallas(x, gx, w_h, h0)
+
+
+twa_scan_sharded.def_partition(
+    infer_sharding_from_operands=_twa_infer_sharding,
+    partition=_twa_partition,
+    # Shardy propagation rule: only the video factor `v` is shared between
+    # operands and results, so only dim-0 shardings propagate through the op.
+    sharding_rule="v s h w c, v s h w c, k1 k2 ci co, v h2 w2 c2 "
+                  "-> v s h w c, v h2 w2 c2",
+)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
 def twa_scan(x, gx, w_h, h0):
-    """Differentiable fused TWA scan: Pallas forward, XLA-recompute backward."""
-    ys, h_last = twa_scan_pallas(x, gx, w_h, h0)
+    """Differentiable fused TWA scan: Pallas forward (with the V-axis GSPMD
+    partitioning rule), XLA-recompute backward."""
+    ys, h_last = twa_scan_sharded(x, gx, w_h, h0)
     return ys, h_last
 
 
 def _twa_fwd(x, gx, w_h, h0):
-    out = twa_scan_pallas(x, gx, w_h, h0)
+    out = twa_scan_sharded(x, gx, w_h, h0)
     return out, (x, gx, w_h, h0)
 
 

@@ -38,9 +38,14 @@ def _data_only_mesh(mesh) -> bool:
 
 
 def _partitionable_model(model, mesh):
-    """Force the XLA TWA scan on multi-device meshes: the fused Pallas
-    kernel's custom call has no GSPMD partitioning rule, so a sharded jit
-    over it cannot compile. Overrides even an explicit twa_pallas=True.
+    """Force the XLA TWA scan on meshes that shard NON-'data' axes: the
+    fused kernel's custom_partitioning rule (ops/pallas_twa.py:
+    twa_scan_sharded) partitions only the video axis, so under seq/spatial/
+    model sharding GSPMD would all-gather the activations at the kernel
+    boundary — correct but slower than the natively partitionable XLA scan.
+    Overrides even an explicit twa_pallas=True on such meshes. Pure
+    data-parallel meshes keep the kernel: the rule runs it unmodified on
+    each shard's videos.
 
     (make_infer_step's data-parallel shard_map path does NOT go through
     this — inside shard_map each device runs a single-device program, so
@@ -48,6 +53,7 @@ def _partitionable_model(model, mesh):
     if (
         mesh is not None
         and getattr(mesh, "size", 1) > 1
+        and not _data_only_mesh(mesh)
         and getattr(model, "twa_pallas", False) is not False
     ):
         model = model.clone(twa_pallas=False)
@@ -281,11 +287,16 @@ def make_infer_step(model, mesh=None, out_dtype=None, compute_dtype=None,
         rep_spec = P()
         x_spec = P("data", None, None, None, None)
         s_spec = P("data", None, None, None)
+        # check_vma=False: the per-device program has no collectives (eval
+        # mode, no cross-video op), and the Pallas TWA custom call cannot
+        # declare varying-mesh-axes on its out_shape — with checking on,
+        # shard_map rejects the kernel outright.
         sm = jax.shard_map(
             step,
             mesh=mesh,
             in_specs=(rep_spec, rep_spec, x_spec, rep_spec, rep_spec, s_spec),
             out_specs=(x_spec, s_spec),
+            check_vma=False,
         )
         return jax.jit(sm, donate_argnums=donate)
     xs = data_sharding(mesh, 5, spatial_axis=2, seq_axis=1)

@@ -303,11 +303,151 @@ def test_make_mesh_rejects_oversized_factors():
 def test_partitionable_model_forces_xla_twa():
     from iip_uavsal_saliency_tpu.parallel.steps import _partitionable_model
 
-    mesh = make_mesh(n_data=8)
+    # seq/spatial/model-sharded meshes: kernel forced off (the V-axis
+    # partitioning rule would all-gather activations there)
+    mesh = make_mesh(n_data=2, n_seq=2, n_model=2)
     m = _partitionable_model(UAVSal(time_dims=5), mesh)
     assert m.twa_pallas is False
     m = _partitionable_model(UAVSal(time_dims=5, twa_pallas=True), mesh)
-    assert m.twa_pallas is False  # explicit True is overridden for correctness
+    assert m.twa_pallas is False  # explicit True is overridden
+    # pure data-parallel mesh: the custom_partitioning rule shards V, so
+    # auto stays (kernel runs unmodified per shard)
+    dp = make_mesh(n_data=8)
+    m = _partitionable_model(UAVSal(time_dims=5), dp)
+    assert m.twa_pallas is None
     single = make_mesh(n_data=1)
     m = _partitionable_model(UAVSal(time_dims=5), single)
     assert m.twa_pallas is None  # single-device mesh: auto stays
+
+
+def test_infer_step_dp_shard_map_matches_single_device():
+    """The data-parallel serving path is a shard_map (each device runs the
+    whole single-device program on its videos — this is what lets the fused
+    Pallas TWA kernel run un-partitioned on multi-chip DP). Outputs must
+    equal the unsharded step exactly (no cross-device reductions exist)."""
+    model, variables, (x, g, o, s, y) = _setup(v=4)
+    inf0 = make_infer_step(model)
+    out0, rnn0 = inf0(variables["params"], variables["batch_stats"], x, g, o, s)
+
+    mesh = make_mesh(n_data=4)
+    inf1 = make_infer_step(model, mesh=mesh)
+    out1, rnn1 = inf1(
+        variables["params"], variables["batch_stats"],
+        jax.device_put(x, data_sharding(mesh, 5)),
+        jax.device_put(g, replicated(mesh)),
+        jax.device_put(o, replicated(mesh)),
+        jax.device_put(s, data_sharding(mesh, 4)),
+    )
+    # shard_map changes XLA fusion boundaries: bit-identity is not expected,
+    # but deviations stay at f32 rounding level (measured 1e-5 on |x|~3).
+    np.testing.assert_allclose(
+        np.asarray(out0), np.asarray(out1), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(rnn0), np.asarray(rnn1), rtol=1e-5, atol=2e-5
+    )
+
+
+def test_pallas_twa_composes_with_shard_map():
+    """The fused TWA kernel (interpret mode on CPU) under shard_map over
+    'data' == the XLA scan on the full batch: the exact composition the
+    DP serving path uses on real multi-chip TPU."""
+    from jax.sharding import PartitionSpec as P
+
+    from iip_uavsal_saliency_tpu.ops.pallas_twa import twa_scan_pallas, twa_scan_xla
+
+    rng = np.random.RandomState(5)
+    v, s, h, w, c = 4, 3, 12, 8, 8
+    x = jnp.asarray(rng.randn(v, s, h, w, c).astype(np.float32) * 0.5)
+    gx = jnp.asarray(rng.randn(v, s, h, w, c).astype(np.float32) * 0.5)
+    w_h = jnp.asarray(rng.randn(3, 3, c, c).astype(np.float32) * 0.1)
+    h0 = jnp.asarray(rng.randn(v, h, w, c).astype(np.float32) * 0.5)
+
+    mesh = make_mesh(n_data=4)
+    # check_vma=False as in make_infer_step's DP path: the Pallas custom
+    # call cannot declare varying-mesh-axes on its out_shape.
+    sm = jax.shard_map(
+        lambda x, gx, w_h, h0: twa_scan_pallas(x, gx, w_h, h0, interpret=True),
+        mesh=mesh,
+        in_specs=(P("data"), P("data"), P(), P("data")),
+        out_specs=(P("data"), P("data")),
+        check_vma=False,
+    )
+    ys_p, hl_p = jax.jit(sm)(x, gx, w_h, h0)
+    ys_x, hl_x = twa_scan_xla(x, gx, w_h, h0)
+    np.testing.assert_allclose(np.asarray(ys_p), np.asarray(ys_x), rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(hl_p), np.asarray(hl_x), rtol=2e-5, atol=2e-6)
+
+
+def test_twa_sharded_gspmd_matches_xla():
+    """twa_scan_sharded (the custom_partitioning-wrapped kernel) under a
+    GSPMD jit: V-sharded on a pure data mesh it runs the kernel per shard;
+    on a data x seq mesh (x sharded on S too) GSPMD inserts the reshard the
+    rule demands. Both must match the XLA scan; the gradient path (the
+    custom_vjp twa_scan with the XLA-recompute backward) must also compile
+    and match under the mesh."""
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    import iip_uavsal_saliency_tpu.ops.pallas_twa as ptwa
+    from iip_uavsal_saliency_tpu.ops.pallas_twa import (
+        twa_scan,
+        twa_scan_sharded,
+        twa_scan_xla,
+    )
+
+    rng = np.random.RandomState(7)
+    v, s, h, w, c = 4, 4, 12, 8, 8
+    x = jnp.asarray(rng.randn(v, s, h, w, c).astype(np.float32) * 0.5)
+    gx = jnp.asarray(rng.randn(v, s, h, w, c).astype(np.float32) * 0.5)
+    w_h = jnp.asarray(rng.randn(3, 3, c, c).astype(np.float32) * 0.1)
+    h0 = jnp.asarray(rng.randn(v, h, w, c).astype(np.float32) * 0.5)
+    ys_x, hl_x = twa_scan_xla(x, gx, w_h, h0)
+
+    ptwa.INTERPRET = True
+    try:
+        for mesh, x_spec in (
+            (make_mesh(n_data=4), P("data")),
+            (make_mesh(n_data=2, n_seq=2), P("data", "seq")),
+        ):
+            rep = NamedSharding(mesh, P())
+            xs = NamedSharding(mesh, x_spec)
+            ss = NamedSharding(mesh, P(x_spec[0] if len(x_spec) else None))
+            args = (
+                jax.device_put(x, xs),
+                jax.device_put(gx, xs),
+                jax.device_put(w_h, rep),
+                jax.device_put(h0, ss),
+            )
+            ys_p, hl_p = jax.jit(twa_scan_sharded)(*args)
+            np.testing.assert_allclose(
+                np.asarray(ys_p), np.asarray(ys_x), rtol=2e-5, atol=2e-6,
+                err_msg=str(dict(mesh.shape)),
+            )
+            np.testing.assert_allclose(
+                np.asarray(hl_p), np.asarray(hl_x), rtol=2e-5, atol=2e-6,
+            )
+
+        # gradient under the data mesh: Pallas forward, XLA-recompute bwd
+        mesh = make_mesh(n_data=4)
+        xs = NamedSharding(mesh, P("data"))
+
+        def loss_p(w_h, x, gx, h0):
+            ys, _ = twa_scan(x, gx, w_h, h0)
+            return (ys * ys).mean()
+
+        def loss_x(w_h, x, gx, h0):
+            ys, _ = twa_scan_xla(x, gx, w_h, h0)
+            return (ys * ys).mean()
+
+        g_p = jax.jit(jax.grad(loss_p))(
+            jax.device_put(w_h, NamedSharding(mesh, P())),
+            jax.device_put(x, xs), jax.device_put(gx, xs),
+            jax.device_put(h0, xs),
+        )
+        g_x = jax.grad(loss_x)(w_h, x, gx, h0)
+        np.testing.assert_allclose(
+            np.asarray(g_p), np.asarray(g_x), rtol=2e-5, atol=2e-6
+        )
+    finally:
+        ptwa.INTERPRET = False
