@@ -290,8 +290,15 @@ def test_multivideo_length_bucketing(video_dataset, tmp_path_factory, monkeypatc
         trainer._run_epoch("train")
         assert seen == ["vid_a.avi", "vid_b.avi", "vid_long.avi"], seen
     finally:
+        # restore the shared module fixture exactly: later tests enumerate
+        # the Videos/ dir itself (run_test_videos), not just the txt lists
         with open(os.path.join(video_dataset, "txt", "train.txt"), "w") as f:
             f.write("vid_a\n")
+        os.remove(_write_long)
+        os.remove(os.path.join(video_dataset, "maps", name + "_fixMaps.mat"))
+        os.remove(
+            os.path.join(video_dataset, "fixations", "maps", name + "_fixPts.mat")
+        )
 
 
 def test_train_resume(trained, video_dataset, tmp_path_factory):
