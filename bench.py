@@ -45,6 +45,10 @@ def main():
     ap.add_argument("--videos", type=int, default=1, help="parallel videos (V axis)")
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--warmup", type=int, default=5)
+    ap.add_argument("--repeats", type=int, default=3,
+                    help="timed-loop repeats; the BEST is reported (guards "
+                         "against transient relay degradation — the axon "
+                         "tunnel occasionally stalls for seconds)")
     ap.add_argument("--dtype", choices=["f32", "bf16"], default="bf16",
                     help="bf16 is the serving path (f32 for reference parity)")
     ap.add_argument("--twa", choices=["auto", "pallas", "xla"], default="auto",
@@ -149,22 +153,30 @@ def main():
 
         st_cur, chk = run_n(params, batch_stats, pool, gauss, ob, st_cur, args.steps)
         float(chk)  # compile + warm (true sync: scalar fetch)
-        t0 = time.perf_counter()
-        st_cur, chk = run_n(params, batch_stats, pool, gauss, ob, st_cur, args.steps)
-        float(chk)
-        dt = time.perf_counter() - t0
+        times = []
+        for _ in range(max(1, args.repeats)):
+            t0 = time.perf_counter()
+            st_cur, chk = run_n(params, batch_stats, pool, gauss, ob, st_cur, args.steps)
+            float(chk)
+            times.append(time.perf_counter() - t0)
     else:
-        t0 = time.perf_counter()
-        for _ in range(args.steps):
-            out, st_cur = infer(params, batch_stats, x_u8, gauss, ob, st_cur)
-        # true sync: a scalar fetch of the last output (block_until_ready
-        # returns early through the relay; per-step dispatches serialize on
-        # the device queue, so the loop itself paces honestly)
-        float(out.astype(jnp.float32).sum())
-        dt = time.perf_counter() - t0
+        times = []
+        for _ in range(max(1, args.repeats)):
+            t0 = time.perf_counter()
+            for _ in range(args.steps):
+                out, st_cur = infer(params, batch_stats, x_u8, gauss, ob, st_cur)
+            # true sync: a scalar fetch of the last output (block_until_ready
+            # returns early through the relay; per-step dispatches serialize
+            # on the device queue, so the loop itself paces honestly)
+            float(out.astype(jnp.float32).sum())
+            times.append(time.perf_counter() - t0)
 
+    # best-of-N: each repeat is a full true-sync streaming loop; transient
+    # relay stalls only ever ADD time, so the minimum is the honest number
+    dt = min(times)
     frames = args.steps * v * s
     fps = frames / dt
+    log("repeat times: " + ", ".join(f"{t:.3f}s" for t in times))
     log(f"{frames} frames in {dt:.3f}s -> {fps:.1f} FPS ({dt / args.steps * 1e3:.2f} ms/step)")
 
     print(
