@@ -272,10 +272,13 @@ def twa_scan_sharded(x, gx, w_h, h0):
 twa_scan_sharded.def_partition(
     infer_sharding_from_operands=_twa_infer_sharding,
     partition=_twa_partition,
-    # Shardy propagation rule: only the video factor `v` is shared between
-    # operands and results, so only dim-0 shardings propagate through the op.
-    sharding_rule="v s h w c, v s h w c, k1 k2 ci co, v h2 w2 c2 "
-                  "-> v s h w c, v h2 w2 c2",
+    # Shardy propagation rule: the video factor `v` is the ONLY factor shared
+    # between operands and results (result dims use fresh factor names), so
+    # only dim-0 shardings propagate through the op — matching the GSPMD
+    # infer_sharding_from_operands above. A seq/spatial sharding on x stays
+    # on x and is resolved by _twa_partition's forced reshard.
+    sharding_rule="v s h w c, v s2 h2 w2 c2, k1 k2 ci co, v h3 w3 c3 "
+                  "-> v s4 h4 w4 c4, v h5 w5 c5",
 )
 
 

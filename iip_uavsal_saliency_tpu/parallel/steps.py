@@ -252,8 +252,10 @@ def make_infer_step(model, mesh=None, out_dtype=None, compute_dtype=None,
     runs unmodified per-device, so multi-chip DP serving keeps the fused
     kernel instead of paying the XLA-scan fallback. On meshes that also
     shard 'spatial'/'seq'/'model', GSPMD jit is used and the partitionable
-    XLA scan is forced (the kernel's custom call has no GSPMD rule — see
-    _partitionable_model). The saliency output is returned in f32 unless
+    XLA scan is forced — a perf choice, not correctness: the kernel's
+    custom_partitioning rule (ops/pallas_twa.twa_scan_sharded) partitions
+    only the video axis, so those meshes would all-gather activations at
+    the kernel boundary (see _partitionable_model). The saliency output is returned in f32 unless
     out_dtype says otherwise. `donate_state=True` donates the carried
     recurrent state buffer (arg 5) — the serving loop overwrites it every
     step, so XLA can reuse the allocation; don't pass a state you intend
