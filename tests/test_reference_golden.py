@@ -248,3 +248,65 @@ def test_losses_match_reference(ref_mods):
     assert float(ours.loss_fu_dy(jp5, jt5)) == pytest.approx(
         float(ref_loss.loss_fu_dy(tp5, tt5)), abs=2e-5
     )
+
+
+# --------------------------------------------------------------------------- #
+# Visualization helpers vs the reference's OWN utils_vis.py code.
+
+@pytest.fixture(scope="module")
+def ref_vis(ref_mods):
+    # ref_mods already installed the hdf5storage/skimage stubs + sys.path
+    import utils_vis as ref_vis_mod
+
+    return ref_vis_mod
+
+
+def test_heatmap_overlay_matches_reference(ref_vis):
+    """heatmap_overlay parity (reference: utils_vis.py:34-56): uint8 and
+    float heatmaps, equal and MISMATCHED shapes (the cv2.resize path)."""
+    from iip_uavsal_saliency_tpu.vis.overlay import heatmap_overlay
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 255, (H, W, 3), np.uint8)
+    cases = {
+        "uint8-equal": rng.randint(0, 255, (H, W), np.uint8),
+        "float-equal": rng.rand(H, W).astype(np.float64),
+        "uint8-resized": rng.randint(0, 255, (H // 2, W // 2), np.uint8),
+        "float-resized": rng.rand(H // 2, W // 2).astype(np.float32),
+    }
+    for tag, hm in cases.items():
+        want = ref_vis.heatmap_overlay(img, hm)
+        got = heatmap_overlay(img, hm)
+        np.testing.assert_allclose(got, want, atol=1e-12, err_msg=tag)
+
+
+def test_im2uint8_matches_reference(ref_vis):
+    """im2uint8 rounding/clipping parity (reference: utils_vis.py:7-14),
+    incl. the banker's-rounding of np.rint at exact .5 values."""
+    from iip_uavsal_saliency_tpu.data.letterbox import im2uint8
+
+    x = np.array([-3.0, -0.4, 0.0, 0.5, 1.5, 2.5, 254.6, 255.0, 300.0])
+    np.testing.assert_array_equal(
+        im2uint8(x.copy()), ref_vis.im2uint8(x.copy())
+    )
+    rng = np.random.RandomState(4)
+    f = rng.rand(H, W) * 300 - 20
+    np.testing.assert_array_equal(im2uint8(f.copy()), ref_vis.im2uint8(f.copy()))
+    u = rng.randint(0, 255, (H, W), np.uint8)
+    np.testing.assert_array_equal(im2uint8(u), ref_vis.im2uint8(u))
+
+
+def test_resize_fixation_matches_reference(ref_vis):
+    """Fixation-point coordinate remap parity (reference: utils_vis.py:16-31
+    — the same remap utils_data.py uses for GT loading)."""
+    from iip_uavsal_saliency_tpu.data.letterbox import resize_fixation
+
+    rng = np.random.RandomState(5)
+    pts = (rng.rand(37, 53) < 0.05).astype(np.uint8)  # odd sizes: edge rounding
+    pts[36, 52] = 1  # boundary coords exercise the r==rows clamp
+    for rows, cols in ((48, 64), (480, 640), (19, 101)):
+        np.testing.assert_array_equal(
+            resize_fixation(pts, rows=rows, cols=cols),
+            ref_vis.resize_fixation(pts, rows=rows, cols=cols),
+            err_msg=f"{rows}x{cols}",
+        )
