@@ -603,3 +603,95 @@ def test_vgg_pyramid_matches_reference(ref):
             np.asarray(got), np.moveaxis(want.numpy(), 1, -1),
             atol=1e-4, err_msg=f"x{i + 1}",
         )
+
+
+# --------------------------------------------------------------------------- #
+# Cell-level parity for the two recurrent ablations no reference model class
+# consumes (SURVEY M9): ConvSimGRU (model_convlstm.py:568-625) and
+# ConvTWA_DW (model_convlstm.py:403-457), against the reference cells run
+# step-by-step on converted weights.
+
+C_CELL = 8
+S_CELL = 4
+
+
+def _cell_inputs(seed):
+    rng = np.random.RandomState(seed)
+    x = rng.randn(S_CELL, C_CELL, 10, 12).astype(np.float32) * 0.5
+    h0 = rng.randn(1, C_CELL, 10, 12).astype(np.float32) * 0.5
+    return x, h0
+
+
+def test_simgru_cell_matches_reference(ref):
+    import model_convlstm as ref_rnn
+
+    from iip_uavsal_saliency_tpu.models.recurrent import ConvSimGRU
+
+    torch.manual_seed(21)
+    tcell = ref_rnn.ConvSimGRUCell(
+        input_size=(10, 12), input_dim=C_CELL, hidden_dim=C_CELL,
+        kernel_size=(3, 3), bias=False,
+    )
+    tcell.eval()
+    x, h0 = _cell_inputs(22)
+    with torch.no_grad():
+        h = torch.from_numpy(h0)
+        t_ys = []
+        for t in range(S_CELL):
+            h = tcell(torch.from_numpy(x[t : t + 1]), [h])
+            t_ys.append(h.numpy())
+
+    w = tcell.rnn_conv.weight.detach().numpy()  # (2C, 2C, 3, 3) OIHW
+    variables = {"params": {"kernel": jnp.asarray(w.transpose(2, 3, 1, 0))}}
+    jcell = ConvSimGRU(hidden_dim=C_CELL)
+    ys, h_last = jax.jit(lambda v, x, s: jcell.apply(v, x, s))(
+        variables, _to_jax_nhwc(x), _to_jax_nhwc(h0)[0]
+    )
+    for t in range(S_CELL):
+        np.testing.assert_allclose(
+            np.asarray(ys[t]), np.moveaxis(t_ys[t][0], 0, -1),
+            atol=2e-6, err_msg=f"t={t}",
+        )
+    np.testing.assert_allclose(
+        np.asarray(h_last), np.moveaxis(t_ys[-1][0], 0, -1), atol=2e-6
+    )
+
+
+def test_twadw_cell_matches_reference(ref):
+    import model_convlstm as ref_rnn
+
+    from iip_uavsal_saliency_tpu.models.convert import _dwblock
+    from iip_uavsal_saliency_tpu.models.recurrent import ConvTWADW
+
+    torch.manual_seed(23)
+    tcell = ref_rnn.ConvTWACell_DW(
+        input_size=(10, 12), input_dim=C_CELL, hidden_dim=C_CELL,
+        kernel_size=3, bias=False,
+    )
+    tcell.eval()
+    x, h0 = _cell_inputs(24)
+    with torch.no_grad():
+        h = torch.from_numpy(h0)
+        t_ys = []
+        for t in range(S_CELL):
+            h = tcell(torch.from_numpy(x[t : t + 1]), [h])
+            t_ys.append(h.numpy())
+
+    sd = {k: v.detach().numpy() for k, v in tcell.state_dict().items()}
+    p, s = _dwblock(sd, "rnn_conv", expand=True)
+    variables = {
+        "params": {"cell": {"rnn_conv": p}},
+        "batch_stats": {"cell": {"rnn_conv": s}},
+    }
+    jcell = ConvTWADW(hidden_dim=C_CELL)
+    ys, h_last = jax.jit(lambda v, x, s: jcell.apply(v, x, s))(
+        variables, _to_jax_nhwc(x), _to_jax_nhwc(h0)[0]
+    )
+    for t in range(S_CELL):
+        np.testing.assert_allclose(
+            np.asarray(ys[t]), np.moveaxis(t_ys[t][0], 0, -1),
+            atol=2e-5, err_msg=f"t={t}",
+        )
+    np.testing.assert_allclose(
+        np.asarray(h_last), np.moveaxis(t_ys[-1][0], 0, -1), atol=2e-5
+    )
