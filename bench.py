@@ -98,12 +98,15 @@ def main():
     compute_dtype = None
     if args.dtype == "bf16":
         compute_dtype = jnp.bfloat16
-        variables = jax.tree_util.tree_map(
-            lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, variables
-        )
-        gauss = gauss.astype(jnp.bfloat16)
-        ob = ob.astype(jnp.bfloat16)
-        state = state.astype(jnp.bfloat16)
+        # ONE jitted program for every cast: each eager tree_map cast would
+        # be its own compiled program, and the relay's program-LOAD path is
+        # the thing that stalls (docs/PERF.md "Measurement integrity" #3) —
+        # dozens of tiny loads can cost minutes of startup during a stall.
+        variables, gauss, ob, state = jax.jit(
+            lambda t: jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, t
+            )
+        )((variables, gauss, ob, state))
 
     # the serving loop overwrites the state every step: donate its buffer
     infer = make_infer_step(model, compute_dtype=compute_dtype, donate_state=True)
