@@ -50,12 +50,18 @@ def resize_pts(img: np.ndarray, maxvalue: int = 640, minvalue: int = 320) -> np.
 
 
 def padding(img: np.ndarray, shape_r: int = 480, shape_c: int = 640, channels: int = 3) -> np.ndarray:
-    """Aspect-preserving resize + center zero-pad (reference: utils_data.py:321-343)."""
+    """Aspect-preserving resize + center zero-pad (reference: utils_data.py:321-343).
+
+    Deliberate divergence: the output buffer preserves the INPUT dtype. The
+    reference hard-codes uint8 (utils_data.py:322-324), which silently
+    truncates float [0,1] inputs — its own cached-prior resize path
+    (get_guasspriors, :460-464) would return all-zero priors through it.
+    For uint8 inputs (every image/frame path) behavior is identical."""
     _require_cv2()
     if channels == 1:
-        img_padded = np.zeros((shape_r, shape_c), dtype=np.uint8)
+        img_padded = np.zeros((shape_r, shape_c), dtype=img.dtype)
     else:
-        img_padded = np.zeros((shape_r, shape_c, channels), dtype=np.uint8)
+        img_padded = np.zeros((shape_r, shape_c, channels), dtype=img.dtype)
 
     original_shape = img.shape
     rows_rate = original_shape[0] / shape_r

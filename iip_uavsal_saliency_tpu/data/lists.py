@@ -80,15 +80,28 @@ def get_video_list(
     vid_dir = os.path.join(base, "videos")
     map_dir = os.path.join(base, "maps")
     fix_dir = os.path.join(base, "fixations", "maps")
-    videos = [os.path.join(vid_dir, f) for f in os.listdir(vid_dir) if f.endswith((".avi", ".mp4"))]
-    vidmaps = [os.path.join(map_dir, f) for f in os.listdir(map_dir) if f.endswith(".mat")]
-    vidfixs = [os.path.join(fix_dir, f) for f in os.listdir(fix_dir) if f.endswith(".mat")]
+    # Sort each listing BEFORE pairing: os.listdir order is arbitrary and
+    # per-directory, so zipping raw listings can pair video A with video B's
+    # ground truth. Sorted name order aligns because GT files share the
+    # video's basename (+ fixed suffixes).
+    videos = sorted(
+        os.path.join(vid_dir, f) for f in os.listdir(vid_dir) if f.endswith((".avi", ".mp4"))
+    )
+    vidmaps = sorted(
+        os.path.join(map_dir, f) for f in os.listdir(map_dir) if f.endswith(".mat")
+    )
+    vidfixs = sorted(
+        os.path.join(fix_dir, f) for f in os.listdir(fix_dir) if f.endswith(".mat")
+    )
+    if not (len(videos) == len(vidmaps) == len(vidfixs)):
+        raise ValueError(
+            f"unpaired dataset listing under {base}: {len(videos)} videos, "
+            f"{len(vidmaps)} fixMaps, {len(vidfixs)} fixPts"
+        )
     if shuffle:
         zipped = list(zip(videos, vidmaps, vidfixs))
         random.shuffle(zipped)
         videos, vidmaps, vidfixs = map(list, zip(*zipped))
-    else:
-        videos, vidmaps, vidfixs = sorted(videos), sorted(vidmaps), sorted(vidfixs)
     return videos, vidmaps, vidfixs
 
 

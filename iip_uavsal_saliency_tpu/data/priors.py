@@ -95,8 +95,18 @@ def get_gauss_priors(
 ) -> np.ndarray:
     """Min-max normalized Gaussian priors (H, W, C) float32, cached as
     `gauss_priors.mat` key `PriorMaps` (reference: utils_data.py:449-469).
-    Consumes the reference's shipped cache when present."""
-    cache = os.path.join(cache_dir, "gauss_priors.mat") if cache_dir else "gauss_priors.mat"
+    Consumes the reference's shipped cache when present.
+
+    The default (kind='st', channels=8) keeps the reference's exact cache
+    filename; other variants get a suffixed name so a kind='dy' request can
+    never silently return a cached 'st' tensor (the reference keys its cache
+    on filename alone and has this aliasing bug)."""
+    name = (
+        "gauss_priors.mat"
+        if (kind == "st" and channels == 8)
+        else f"gauss_priors_{kind}{channels}.mat"
+    )
+    cache = os.path.join(cache_dir, name) if cache_dir else name
     if not os.path.exists(cache):
         gen = dy_gaussian_priors if kind == "dy" else gaussian_priors
         ims = gen(shape_r, shape_c, channels)
@@ -110,9 +120,12 @@ def get_gauss_priors(
 
     ims = loadmat(cache, "PriorMaps")
     if ims.shape[0] != shape_r or ims.shape[1] != shape_c:
-        ims_rs = np.zeros((shape_r, shape_c, ims.shape[2]), np.uint8)
+        # float32 buffers: cached priors are float in [0,1]; the reference's
+        # uint8 resize path here (utils_data.py:460-464) truncates them all
+        # to zero — clearly unintended, not reproduced
+        ims_rs = np.zeros((shape_r, shape_c, ims.shape[2]), np.float32)
         for i in range(ims.shape[2]):
-            ims_rs[:, :, i] = padding(ims[:, :, i], shape_r, shape_c, 1)
+            ims_rs[:, :, i] = padding(ims[:, :, i].astype(np.float32), shape_r, shape_c, 1)
         ims = ims_rs
     return np.asarray(ims, np.float32)
 
@@ -186,8 +199,10 @@ def get_ob_priors(
         maps = loadmat(cache, "PriorMaps")
 
     if maps.shape[0] != shape_r or maps.shape[1] != shape_c:
-        maps_rs = np.zeros((shape_r, shape_c, maps.shape[2]), np.uint8)
+        # float32 buffers (see get_gauss_priors: the reference's uint8 path
+        # would zero the cached [0,1] maps)
+        maps_rs = np.zeros((shape_r, shape_c, maps.shape[2]), np.float32)
         for i in range(maps.shape[2]):
-            maps_rs[:, :, i] = padding(maps[:, :, i], shape_r, shape_c, 1)
+            maps_rs[:, :, i] = padding(maps[:, :, i].astype(np.float32), shape_r, shape_c, 1)
         maps = maps_rs
     return np.asarray(maps, np.float32)

@@ -74,12 +74,20 @@ def preprocess_videos(
     nframes = int(min(nframes, frames))
 
     ims = np.zeros((nframes, shape_r, shape_c, 3), np.uint8)
+    decoded = 0
     for i in range(nframes):
         ret, frame = cap.read()
         if not ret:
             break
         ims[i] = padding(frame, shape_r, shape_c, 3)
+        decoded = i + 1
     cap.release()
+    if decoded < nframes:
+        # the container header overcounted (common for VFR files): truncate
+        # to what actually decoded rather than returning fabricated black
+        # frames counted as real (decode_video in this file does the same)
+        ims = ims[:decoded]
+        nframes = decoded
 
     if mode == "RGB":
         ims = ims[:, :, :, [2, 1, 0]]

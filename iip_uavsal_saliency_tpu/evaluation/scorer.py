@@ -47,7 +47,15 @@ from .metrics_jax import (
     eval_nss,
     eval_sim,
 )
-from .metrics_np import auc_borji_np, auc_shuffled_np
+from .metrics_np import (
+    auc_borji_np,
+    auc_judd_np,
+    auc_shuffled_np,
+    cc_np,
+    kld_np,
+    nss_np,
+    sim_np,
+)
 
 log = get_logger("eval")
 
@@ -270,23 +278,32 @@ def _score_video(salmap, fixmap, fixpts, all_fix_pts, keys_order, batch_size, rn
         np.flatnonzero(fixed_shufmap) if need_shuf and fixed_shufmap is not None else None
     )
 
-    # device metrics, batched
+    # device metrics, batched. The final partial batch is PADDED to
+    # batch_size by repeating the last frame (results sliced back): a new
+    # leading dim would recompile _device_metrics/_device_auc_sweep per
+    # distinct remainder — seconds apiece through a remote relay, for
+    # nearly every video.
+    def _pad_to_batch(a):
+        pad = batch_size - len(a)
+        return a if pad <= 0 else np.concatenate([a, np.repeat(a[-1:], pad, 0)])
+
     kl, cc, nss, sim, aucj, borji, shuf = [], [], [], [], [], [], []
     for b in range(0, nframes, batch_size):
-        p = jnp.asarray(pred[b : b + batch_size])
-        t = jnp.asarray(true[b : b + batch_size])
+        n_act = min(batch_size, nframes - b)
+        p = jnp.asarray(_pad_to_batch(pred[b : b + batch_size]))
+        t = jnp.asarray(_pad_to_batch(true[b : b + batch_size]))
         r = _device_metrics(p, t, _jitter_key(rng))
-        kl.append(np.asarray(r[0]))
-        cc.append(np.asarray(r[1]))
-        nss.append(np.asarray(r[2]))
-        sim.append(np.asarray(r[3]))
-        aucj.append(np.asarray(r[4]))
-        pts_b = gt_pts[b : b + batch_size]
+        kl.append(np.asarray(r[0])[:n_act])
+        cc.append(np.asarray(r[1])[:n_act])
+        nss.append(np.asarray(r[2])[:n_act])
+        sim.append(np.asarray(r[3])[:n_act])
+        aucj.append(np.asarray(r[4])[:n_act])
+        pts_b = _pad_to_batch(gt_pts[b : b + batch_size])
         if need_borji:
             idx, nv = _borji_neg_idx(pts_b, n_pix, 100, rng)
             borji.append(np.asarray(
                 _device_auc_sweep(p, t, jnp.asarray(idx), jnp.asarray(nv))
-            ))
+            )[:n_act])
         if need_shuf:
             shuf_inds = [
                 fixed_shuf_ind
@@ -297,7 +314,7 @@ def _score_video(salmap, fixmap, fixpts, all_fix_pts, keys_order, batch_size, rn
             idx, nv = _shuffled_neg_idx(pts_b, shuf_inds, 100, rng)
             shuf.append(np.asarray(
                 _device_auc_sweep(p, t, jnp.asarray(idx), jnp.asarray(nv))
-            ))
+            )[:n_act])
     device_vals = {
         "KLD": np.concatenate(kl),
         "CC": np.concatenate(cc),
@@ -478,37 +495,46 @@ def build_shuffle_map_img(fixs_dir: str, size=(480, 640)):
 
 
 def _score_image(salmap, fixmap, fixpts, keys_order, shufmap, rng):
-    """One image's score row (len(keys),). NaN if any input is degenerate."""
+    """One image's score row (len(keys),), fully on the HOST (metrics_np).
+    NaN if any input is degenerate.
+
+    This is the path the image-eval auto-select picks when device dispatch
+    latency is high (remote relay), so it must not touch the device at all —
+    a per-image device call would pay ~30x more round-trips than the batched
+    path it exists to replace."""
     if not np.any(salmap) or not np.any(fixmap) or not np.any(fixpts):
         return np.full(len(keys_order), np.nan)
-    pred = jnp.asarray(salmap[None, :, :, None].astype(np.float32))
-    true = jnp.asarray(
-        np.stack([fixmap, fixpts], axis=-1)[None].astype(np.float32)
-    )
-    kl, cc, nss, sim, aucj = (
-        np.asarray(a)[0] for a in _device_metrics(pred, true, _jitter_key(rng))
-    )
-    device_vals = {"KLD": kl, "CC": cc, "NSS": nss, "SIM": sim, "AUC_Judd": aucj}
+    host_vals = {
+        "KLD": lambda: kld_np(salmap, fixmap),
+        "CC": lambda: cc_np(salmap, fixmap),
+        "NSS": lambda: nss_np(salmap, fixpts),
+        "SIM": lambda: sim_np(salmap, fixmap),
+        "AUC_Judd": lambda: auc_judd_np(salmap, fixpts, rng=rng),
+        "AUC_Borji": lambda: auc_borji_np(salmap, fixpts, rng=rng),
+        "AUC_shuffled": lambda: auc_shuffled_np(salmap, fixpts, shufmap, rng=rng),
+    }
     row = np.zeros(len(keys_order))
     for k, key in enumerate(keys_order):
-        if key in device_vals:
-            row[k] = device_vals[key]
-        elif key == "AUC_Borji":
-            row[k] = auc_borji_np(salmap, fixpts, rng=rng)
-        elif key == "AUC_shuffled":
-            row[k] = auc_shuffled_np(salmap, fixpts, shufmap, rng=rng)
-        else:
-            raise KeyError(key)
+        row[k] = host_vals[key]()
     return row
 
 
 def _score_image_batch(sals, fmaps, fpts, keys_order, shufmaps, rng):
     """(B, len(keys)) scores for same-shaped images, all 7 metrics batched
-    on device (images with any degenerate input get a NaN row)."""
+    on device (images with any degenerate input get a NaN row). The batch
+    is padded to a multiple of 8 by repeating the last image (rows sliced
+    back) so partial final flushes don't recompile per distinct size."""
+    n_act = len(sals)
+    pad = -(-n_act // 8) * 8 - n_act
     pred = np.stack(sals)[..., None].astype(np.float32)
     true = np.stack(
         [np.stack(fmaps), np.stack(fpts)], axis=-1
     ).astype(np.float32)
+    if pad:
+        pred = np.concatenate([pred, np.repeat(pred[-1:], pad, 0)])
+        true = np.concatenate([true, np.repeat(true[-1:], pad, 0)])
+        fpts = list(fpts) + [fpts[-1]] * pad
+        shufmaps = list(shufmaps) + [shufmaps[-1]] * pad
     p, t = jnp.asarray(pred), jnp.asarray(true)
     r = _device_metrics(p, t, _jitter_key(rng))
     device_vals = dict(zip(["KLD", "CC", "NSS", "SIM", "AUC_Judd"],
@@ -525,8 +551,8 @@ def _score_image_batch(sals, fmaps, fpts, keys_order, shufmaps, rng):
         device_vals["AUC_shuffled"] = np.asarray(
             _device_auc_sweep(p, t, jnp.asarray(idx), jnp.asarray(nv))
         )
-    scores = np.stack([device_vals[k] for k in keys_order], axis=1)
-    for i in range(len(sals)):
+    scores = np.stack([device_vals[k][:n_act] for k in keys_order], axis=1)
+    for i in range(n_act):
         if not (np.any(sals[i]) and np.any(fmaps[i]) and np.any(fpts[i])):
             scores[i, :] = np.nan
     return scores
@@ -567,8 +593,14 @@ def _evalscores_img_common(
             batch.clear()
 
         for n_idx, name in enumerate(sal_names):
-            salmap = cv2.imread(os.path.join(salmap_dir, name), -1) / 255.0
-            fixmap = cv2.imread(os.path.join(maps_dir, name), -1) / 255.0
+            salmap = cv2.imread(os.path.join(salmap_dir, name), -1)
+            fixmap = cv2.imread(os.path.join(maps_dir, name), -1)
+            if salmap is None:
+                raise IOError(f"unreadable image: {os.path.join(salmap_dir, name)}")
+            if fixmap is None:
+                raise IOError(f"unreadable image: {os.path.join(maps_dir, name)}")
+            salmap = salmap / 255.0
+            fixmap = fixmap / 255.0
             fixpts = np.asarray(
                 loadmat(os.path.join(fixs_dir, name[:-4] + ".mat"), "I")
             )

@@ -55,6 +55,10 @@ def test_images(
         pred = np.asarray(step(x))[..., 0]
         for p, name, (h, w) in zip(pred, names, sizes):
             sal = cv2.resize(p, (w, h), interpolation=cv2.INTER_LINEAR)
+            # max-normalize to 0..255 (reference: utils_data.py:303 returns
+            # img/max*255); the head is a sigmoid, so without this im2uint8
+            # would round the whole (0,1) map to {0,1}
+            sal = sal / (np.max(sal) + 2.2204e-16) * 255.0
             cv2.imwrite(os.path.join(output_path, name + ".png"), im2uint8(sal))
         batch.clear()
         names.clear()

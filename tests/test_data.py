@@ -134,3 +134,59 @@ def test_get_gauss_priors_cache_roundtrip(tmp_path):
     assert os.path.exists(os.path.join(d, "gauss_priors.mat"))
     b = get_gauss_priors(45, 80, 8, cache_dir=d)  # from cache
     np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_get_gauss_priors_resize_from_cache_keeps_float(tmp_path):
+    """Resizing a cached float [0,1] prior must NOT truncate to zero.
+    (The reference's own resize path, utils_data.py:460-464, routes floats
+    through a uint8 buffer and would return all-zero priors — a documented
+    deliberate divergence; see letterbox.padding.)"""
+    d = str(tmp_path)
+    get_gauss_priors(45, 80, 8, cache_dir=d)            # cache at 45x80
+    r = get_gauss_priors(24, 40, 8, cache_dir=d)        # resized from cache
+    assert r.shape == (24, 40, 8) and r.dtype == np.float32
+    assert r.max() > 0.5 and (r > 0).mean() > 0.5
+
+
+def test_get_gauss_priors_kind_not_aliased(tmp_path):
+    """A kind='dy' request must not silently return the cached 'st' tensor
+    (the reference keys its cache on filename alone)."""
+    d = str(tmp_path)
+    st = get_gauss_priors(45, 80, 8, cache_dir=d)
+    dy = get_gauss_priors(45, 80, 8, cache_dir=d, kind="dy")
+    assert os.path.exists(os.path.join(d, "gauss_priors_dy8.mat"))
+    assert not np.allclose(dy, st)
+
+
+def test_padding_preserves_float_dtype():
+    x = np.full((10, 20), 0.5, np.float32)
+    out = padding(x, 16, 16, 1)
+    assert out.dtype == np.float32
+    assert out.max() > 0.4  # uint8 buffer would truncate 0.5 -> 0
+
+
+def test_get_video_list_shuffle_pairs_correctly(tmp_path):
+    """shuffle=True must keep (video, fixMaps, fixPts) referring to the SAME
+    video: os.listdir order is arbitrary per directory, so raw zip can pair
+    video A with video B's ground truth."""
+    from iip_uavsal_saliency_tpu.data.lists import get_video_list
+
+    base = os.path.join(str(tmp_path), "train")
+    os.makedirs(os.path.join(base, "videos"))
+    os.makedirs(os.path.join(base, "maps"))
+    os.makedirs(os.path.join(base, "fixations", "maps"))
+    names = ["zeta", "alpha", "mid"]
+    for n in names:
+        for p in (os.path.join(base, "videos", n + ".avi"),
+                  os.path.join(base, "maps", n + "_fixMaps.mat"),
+                  os.path.join(base, "fixations", "maps", n + "_fixPts.mat")):
+            open(p, "w").close()
+    videos, vmaps, vfixs = get_video_list(str(tmp_path), "train", shuffle=True)
+    for v, m, f in zip(videos, vmaps, vfixs):
+        stem = os.path.basename(v)[:-4]
+        assert os.path.basename(m) == stem + "_fixMaps.mat", (v, m)
+        assert os.path.basename(f) == stem + "_fixPts.mat", (v, f)
+    # unpaired listing is an error, not silent truncation
+    os.remove(os.path.join(base, "maps", "mid_fixMaps.mat"))
+    with pytest.raises(ValueError):
+        get_video_list(str(tmp_path), "train", shuffle=False)

@@ -136,3 +136,21 @@ def test_visual_img(salicon_root, tmp_path):
     visual_img(val_dir, sals, ["M"])
     out = os.path.join(sals, "M", "Visual_color")
     assert len(os.listdir(out)) == 3
+
+
+def test_infer_images_png_dynamic_range(salicon_root, srfnet_image_model, tmp_path):
+    """The saliency PNGs are max-normalized to 0..255 (reference:
+    utils_data.py:303). A sigmoid-scale map written raw through im2uint8
+    would collapse to {0, 1} — every metric then scores near chance."""
+    from iip_uavsal_saliency_tpu.runners.infer_images import test_images as run_imgs
+
+    model, variables = srfnet_image_model
+    out = str(tmp_path / "Saliency")
+    run_imgs(salicon_root, out, model, variables, classes="val",
+             iosize=IOSIZE, batch_size=2, method_name="M")
+    pngs = sorted(os.listdir(os.path.join(out, "M")))
+    assert len(pngs) == 3
+    for f in pngs:
+        img = cv2.imread(os.path.join(out, "M", f), -1)
+        assert img.max() == 255, f  # max-normalized
+        assert len(np.unique(img)) > 10, f  # full dynamic range, not binary
