@@ -49,6 +49,20 @@ class ZooModelAdapter:
         # steps' rank-4 (data, spatial, ., .) state sharding still applies
         return jnp.zeros((n_videos, 8, 8, 1), dtype)
 
+    def _model_for(self, x):
+        """Per-video bounding for flattened multi-video batches (V>1): the
+        temporal-difference stencil and the t-major context tile must never
+        cross video boundaries (the native UAVSal applies the same guards at
+        uavsal.py:208,217). V=1 keeps exact reference behavior."""
+        v, s = x.shape[0], x.shape[1]
+        if v <= 1 or self.kind == "stateful":
+            return self.model
+        if self.kind == "priors":  # UAVSalMP: trunk diffs AND context tile
+            return self.model.clone(compat_cxt_tile=False, diff_group=s)
+        if "diff_group" in type(self.model).__dataclass_fields__:
+            return self.model.clone(diff_group=s)
+        return self.model  # spconv / 3D variants: no cross-video op at V>1
+
     def _call_args(self, x, gauss, ob, state):
         if self.kind == "stateful":
             return (x, gauss, ob, state)
@@ -69,14 +83,16 @@ class ZooModelAdapter:
     def apply(self, variables, x, gauss, ob, state, train: bool = False,
               mutable: Any = False):
         args = self._call_args(x, gauss, ob, state)
-        out = self.model.apply(variables, *args, train=train, mutable=mutable)
+        out = self._model_for(x).apply(variables, *args, train=train, mutable=mutable)
         if mutable:
             y, mutated = out
             return self._wrap_out(y, x, state), mutated
         return self._wrap_out(out, x, state)
 
     def init(self, rngs, x, gauss, ob, state, **kwargs):
-        return self.model.init(rngs, *self._call_args(x, gauss, ob, state), **kwargs)
+        return self._model_for(x).init(
+            rngs, *self._call_args(x, gauss, ob, state), **kwargs
+        )
 
 
 def build_adapted_model(name: str = "uavsal", **kwargs):

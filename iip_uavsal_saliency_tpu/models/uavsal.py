@@ -252,12 +252,17 @@ class UAVSalSpConv(nn.Module):
 
 
 class UAVSalTeConv(nn.Module):
-    """Te-Net ablation: teConv-only ST stage (reference: model.py:622-662)."""
+    """Te-Net ablation: teConv-only ST stage (reference: model.py:622-662).
+
+    `diff_group` bounds the temporal differences per video when several
+    videos are flattened into the batch (ZooModelAdapter sets it for V>1);
+    None keeps the reference whole-batch behavior."""
 
     cnn_type: str = "mobilenet_v2"
     time_dims: int = 5
     num_stblock: int = 2
     planes: int = 256
+    diff_group: Optional[int] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -268,6 +273,7 @@ class UAVSalTeConv(nn.Module):
                 self.time_dims,
                 reduction=self.planes // 32,
                 res_connect=True,
+                diff_group=self.diff_group,
                 name=f"st_layer_{i}",
             )(x, train)
         x = DWBlock(self.planes, 3, name="fust_layer", **_FAN_OUT)(x, train)
@@ -276,17 +282,21 @@ class UAVSalTeConv(nn.Module):
 
 
 class UAVSalSTBlocks(nn.Module):
-    """ST-Net ablation (reference: model.py:666-705). Returns (out, features)."""
+    """ST-Net ablation (reference: model.py:666-705). Returns (out, features).
+
+    `diff_group`: see UAVSalTeConv."""
 
     cnn_type: str = "mobilenet_v2"
     time_dims: int = 5
     num_stblock: int = 2
     planes: int = 256
+    diff_group: Optional[int] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = _Trunk(
-            self.cnn_type, self.planes, self.time_dims, self.num_stblock, name="trunk"
+            self.cnn_type, self.planes, self.time_dims, self.num_stblock,
+            diff_group=self.diff_group, name="trunk"
         )(x, train)
         out = DWBlock(1, 3, name="conv_out_st", **_FAN_OUT)(x, train)
         return jax.nn.sigmoid(out), x
@@ -300,6 +310,7 @@ class UAVSalSTBlocksType(nn.Module):
     num_stblock: int = 2
     planes: int = 256
     st_type: str = "st"
+    diff_group: Optional[int] = None  # see UAVSalTeConv
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -309,6 +320,7 @@ class UAVSalSTBlocksType(nn.Module):
             self.time_dims,
             self.num_stblock,
             st_type=self.st_type,
+            diff_group=self.diff_group,
             name="trunk",
         )(x, train)
         out = DWBlock(1, 3, name="conv_out_st", **_FAN_OUT)(x, train)
@@ -360,7 +372,11 @@ class UAVSalSTC23D(nn.Module):
 
 
 class UAVSalMP(nn.Module):
-    """MP-Net ablation: trunk + priors, no recurrence (reference: model.py:845-957)."""
+    """MP-Net ablation: trunk + priors, no recurrence (reference: model.py:845-957).
+
+    `diff_group` bounds the trunk's temporal differences per video when
+    several videos are flattened into the batch (ZooModelAdapter sets it for
+    V>1); None keeps the reference whole-batch behavior."""
 
     cnn_type: str = "mobilenet_v2"
     time_dims: int = 5
@@ -368,11 +384,13 @@ class UAVSalMP(nn.Module):
     bias_type: Sequence[int] = (1, 1, 1)
     planes: int = 256
     compat_cxt_tile: bool = True
+    diff_group: Optional[int] = None
 
     @nn.compact
     def __call__(self, x, gauss_prior, ob_prior, train: bool = False):
         x = _Trunk(
-            self.cnn_type, self.planes, self.time_dims, self.num_stblock, name="trunk"
+            self.cnn_type, self.planes, self.time_dims, self.num_stblock,
+            diff_group=self.diff_group, name="trunk"
         )(x, train)
         x = MultiPriors(
             self.planes, self.time_dims, self.bias_type, self.compat_cxt_tile, name="mp"

@@ -23,7 +23,7 @@ def param_bytes(tree: Any) -> int:
     )
 
 
-def model_size_report(variables: Mapping[str, Any], top_level: str = "params") -> str:
+def model_size_report(variables: Mapping[str, Any]) -> str:
     """Per-top-level-submodule byte breakdown across ALL collections
     (params + batch_stats), mirroring the reference's param+buffer accounting.
     """

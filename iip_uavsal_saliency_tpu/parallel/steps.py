@@ -27,6 +27,15 @@ from ..training.losses import loss_fu
 from .mesh import data_sharding, replicated
 
 
+def _state_sharding(model, mesh):
+    """Rank-aware sharding for the carried recurrent state: image rows over
+    'spatial'. UAVSal carries (V, H, W, C); UAVSalLSTM carries (V, 2, H, W, C)
+    — the row axis is always ndim-3, and a fixed rank-4 spec would land
+    'spatial' on the LSTM's size-2 h/c axis instead."""
+    ndim = model.init_state(8, 8, 1).ndim
+    return data_sharding(mesh, ndim, spatial_axis=ndim - 3)
+
+
 def _data_only_mesh(mesh) -> bool:
     """True when every non-'data' axis has size 1 — the pure data-parallel
     case, where each device holds whole videos and the model is
@@ -197,7 +206,7 @@ def make_train_step(
 
     xs = data_sharding(mesh, 5, spatial_axis=2, seq_axis=1)
     ys = data_sharding(mesh, 5, spatial_axis=2, seq_axis=1)
-    ss = data_sharding(mesh, 4, spatial_axis=1)
+    ss = _state_sharding(model, mesh)
     rep = replicated(mesh)
     ts = state_shardings if state_shardings is not None else rep
     return jax.jit(
@@ -228,7 +237,7 @@ def make_eval_step(model, loss_fn: Callable = loss_fu, mesh=None,
         return jax.jit(step)
     xs = data_sharding(mesh, 5, spatial_axis=2, seq_axis=1)
     ys = data_sharding(mesh, 5, spatial_axis=2, seq_axis=1)
-    ss = data_sharding(mesh, 4, spatial_axis=1)
+    ss = _state_sharding(model, mesh)
     rep = replicated(mesh)
     ps = param_shardings if param_shardings is not None else rep
     return jax.jit(
@@ -273,7 +282,13 @@ def make_infer_step(model, mesh=None, out_dtype=None, compute_dtype=None,
             x = x.astype(jnp.float32) / 255.0
             x = (x - mean) / std
         if compute_dtype is not None:
+            # cast the carried state (and priors) too: a caller passing the
+            # model's default f32 init_state would otherwise feed the TWA
+            # kernel mismatched dtypes (Mosaic DMA error on TPU)
             x = x.astype(compute_dtype)
+            rnn_state = rnn_state.astype(compute_dtype)
+            gauss = None if gauss is None else gauss.astype(compute_dtype)
+            ob = None if ob is None else ob.astype(compute_dtype)
         out, new_rnn = model.apply(
             {"params": params, "batch_stats": batch_stats}, x, gauss, ob, rnn_state
         )
@@ -302,7 +317,7 @@ def make_infer_step(model, mesh=None, out_dtype=None, compute_dtype=None,
         )
         return jax.jit(sm, donate_argnums=donate)
     xs = data_sharding(mesh, 5, spatial_axis=2, seq_axis=1)
-    ss = data_sharding(mesh, 4, spatial_axis=1)
+    ss = _state_sharding(model, mesh)
     rep = replicated(mesh)
     return jax.jit(
         step,

@@ -208,8 +208,23 @@ class Trainer:
 
     # ------------------------------------------------------------------ #
 
-    def _video_clips(self, vid_path, map_path, fix_path, max_frames):
-        """Host-side per-video pipeline -> list of fixed-size padded clips."""
+    def _video_clips(self, vid_path, map_path, fix_path, max_frames,
+                     pad_ragged: bool = False):
+        """Host-side per-video pipeline -> list of clips.
+
+        The final clip of a video is usually smaller than
+        batch_size*time_dims. With `pad_ragged=False` (single-video path,
+        the default) it is emitted at its TRUE size — exactly the
+        reference's smaller-last-batch behavior (Demo_Train_Test.py:121-128):
+        BN batch statistics, the temporal-difference edge rule, and the
+        context tile all see only real frames, at the cost of at most
+        batch_size-1 extra (cached) compiled step shapes. With
+        `pad_ragged=True` (the multi-video DP path, which must np.stack
+        same-shaped clips across videos) it is right-padded by repeating the
+        last frame with the loss masked — padded frames then contribute
+        (statistically similar) samples to train-mode BN stats and zero the
+        boundary frame's backward temporal difference; length-bucketing
+        keeps such clips rare."""
         cfg = self.cfg
         shape_r, shape_c, shape_r_out, shape_c_out = cfg.iosize
         vidmaps = preprocess_vidmaps(map_path, shape_r_out, shape_c_out, max_frames)
@@ -232,11 +247,11 @@ class Trainer:
             if not np.all(np.any(y, axis=(1, 2))):
                 continue
             n_valid = x.shape[0]
-            if n_valid < s:  # pad ragged last clip; loss is masked
+            if pad_ragged and n_valid < s:
                 pad = s - n_valid
                 x = np.concatenate([x, np.repeat(x[-1:], pad, 0)], 0)
                 y = np.concatenate([y, np.repeat(y[-1:], pad, 0)], 0)
-            mask = np.zeros((s, shape_r_out, shape_c_out, 1), np.float32)
+            mask = np.zeros((x.shape[0], shape_r_out, shape_c_out, 1), np.float32)
             mask[:n_valid] = 1.0
             clips.append((x, np.concatenate([y, mask], -1)))
         return clips
@@ -311,7 +326,10 @@ class Trainer:
         for g0 in range(0, len(videos), v_per):
             group = triples[g0 : g0 + v_per]
             log.info("%s videos %d-%d/%d", phase, g0 + 1, g0 + len(group), len(videos))
-            clip_lists = [self._video_clips(vp, mp, fp, max_frames) for vp, mp, fp in group]
+            clip_lists = [
+                self._video_clips(vp, mp, fp, max_frames, pad_ragged=True)
+                for vp, mp, fp in group
+            ]
             # pad the group itself (last group may be short): duplicate the
             # first video with a fully-masked clip list
             while len(clip_lists) < v_per:

@@ -102,6 +102,8 @@ def load_config(path: Optional[str] = None, argv: Optional[Sequence[str]] = None
                 key = arg[2:].replace("-", "_")
                 if key not in fields:
                     raise SystemExit(f"unknown flag --{key}")
+                if i + 1 >= len(argv):
+                    raise SystemExit(f"flag --{key} needs a value")
                 raw = argv[i + 1]
                 ftype = fields[key].type
                 if "Tuple" in str(ftype) or "tuple" in str(ftype):

@@ -154,6 +154,10 @@ def visual_vid(
                     overmap = cv2.resize(overmap, (out_w, out_h))
                 else:
                     overmap = np.repeat(isalmap[..., None], 3, 2) / 255
+                    if overmap.shape[:2] != (out_h, out_w):
+                        # VideoWriter silently DROPS wrong-size frames; the
+                        # color path resizes above, the gray path must too
+                        overmap = cv2.resize(overmap, (out_w, out_h))
 
                 if fixpts is not None:
                     pts = fixpts[:, :, 0, i]

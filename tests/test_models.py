@@ -240,3 +240,41 @@ def test_conv_simgru_matches_naive_loop():
         outs.append(h)
     np.testing.assert_allclose(np.asarray(ys), np.stack(outs), rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(np.asarray(s_last), outs[-1], rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("name,kwargs", [
+    ("uavsal_teconv", {}),
+    # MP: compat_cxt_tile=False so the V=1 runs use the same group-major
+    # context tiling the adapter forces at V>1 (the t-major reference quirk
+    # is single-video-only by design, see UAVSal.__call__); what this test
+    # isolates is the trunk's temporal-difference bounding.
+    ("uavsal_mp", dict(bias_type=(1, 1, 1), compat_cxt_tile=False)),
+])
+def test_zoo_adapter_no_cross_video_leak(name, kwargs):
+    """ZooModelAdapter with V>1 must bound temporal differences per video:
+    the (V, S) batch's output must equal each video run alone (for a single
+    whole video, the reference's whole-batch diff == the per-video bound, so
+    V=1 semantics are unchanged). Without diff_group, frame V0[S-1] would
+    difference against V1[0] across the video boundary."""
+    from iip_uavsal_saliency_tpu.models.adapters import build_adapted_model
+
+    model = build_adapted_model(name, time_dims=2, num_stblock=1, **kwargs)
+    rng = np.random.RandomState(0)
+    h = w = 32
+    x = jnp.asarray(rng.rand(2, 4, h, w, 3).astype(np.float32))
+    gauss = ob = None
+    if name == "uavsal_mp":
+        gauss = jnp.asarray(rng.rand(h // 8, w // 8, 8).astype(np.float32))
+        ob = jnp.asarray(rng.rand(h // 8, w // 8, 20).astype(np.float32))
+    st = model.init_state(h, w, 2)
+    variables = model.init(jax.random.PRNGKey(0), x, gauss, ob, st)
+
+    (out2, _) = model.apply(variables, x, gauss, ob, st)
+    for v in range(2):
+        (out1, _) = model.apply(
+            variables, x[v : v + 1], gauss, ob, model.init_state(h, w, 1)
+        )
+        np.testing.assert_allclose(
+            np.asarray(out2[v]), np.asarray(out1[0]), atol=1e-5,
+            err_msg=f"video {v} differs when batched — cross-video leak",
+        )

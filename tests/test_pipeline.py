@@ -281,9 +281,9 @@ def test_multivideo_length_bucketing(video_dataset, tmp_path_factory, monkeypatc
         seen = []
         orig = trainer._video_clips
 
-        def spy(vp, mp, fp, max_frames):
+        def spy(vp, mp, fp, max_frames, **kw):
             seen.append(os.path.basename(vp))
-            return orig(vp, mp, fp, max_frames)
+            return orig(vp, mp, fp, max_frames, **kw)
 
         monkeypatch.setattr(trainer, "_video_clips", spy)
         monkeypatch.setattr(trainer, "_step", lambda phase, x, y, st: (0.0, st))
@@ -445,3 +445,40 @@ def test_training_descends_loss_kl(video_dataset, tmp_path_factory):
     means = [trainer._run_epoch("train") for _ in range(5)]
     assert np.isfinite(means).all()
     assert means[-1] < means[0], f"loss_kl not descending: {means}"
+
+
+def test_ragged_final_clip_exact_vs_padded(video_dataset, tmp_path_factory):
+    """Single-video training runs the ragged final clip at its TRUE size
+    (the reference's smaller-last-batch semantics — no padded frames in BN
+    statistics or temporal differences); the multi-video path pads+masks."""
+    cfg = TrainConfig(
+        method_name="Ragged", iosize=IOSIZE, time_dims=TIME_DIMS,
+        batch_size=3,  # s=6; the 8-frame fixture video -> clips of [6, 2]
+        epochs=1, bias_type=(1, 0, 1), freeze=(), is_early_stop=False,
+    )
+    trainer = Trainer(
+        cfg, video_dataset, "UAV2", str(tmp_path_factory.mktemp("w_rag")),
+        ext=".avi", priors_cache_dir=str(tmp_path_factory.mktemp("p_rag")),
+    )
+    # dedicated video with DENSE GT so no clip is skipped by the
+    # empty-GT rule (the shared fixture's sparse GT can vanish at 8x8)
+    root = tmp_path_factory.mktemp("ragged_ds")
+    vp = os.path.join(str(root), "v.avi")
+    mp = os.path.join(str(root), "v_fixMaps.mat")
+    fp = os.path.join(str(root), "v_fixPts.mat")
+    _write_video(vp, np.random.RandomState(3))
+    dense = np.full((NATIVE_H, NATIVE_W, 1, NFRAMES), 128, np.uint8)
+    savemat(mp, {"fixMap": dense})
+    savemat(fp, {"fixLoc": (dense > 0).astype(np.uint8)})
+
+    clips = trainer._video_clips(vp, mp, fp, float("inf"))
+    assert [c[0].shape[0] for c in clips] == [6, 2]
+    for x, y in clips:  # exact path: every frame real, mask all ones
+        assert y.shape[0] == x.shape[0]
+        np.testing.assert_array_equal(y[..., 2], 1.0)
+
+    padded = trainer._video_clips(vp, mp, fp, float("inf"), pad_ragged=True)
+    assert [c[0].shape[0] for c in padded] == [6, 6]
+    np.testing.assert_array_equal(padded[1][1][:2, :, :, 2], 1.0)
+    np.testing.assert_array_equal(padded[1][1][2:, :, :, 2], 0.0)
+    np.testing.assert_array_equal(padded[1][0][2:], np.repeat(padded[1][0][1:2], 4, 0))

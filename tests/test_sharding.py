@@ -451,3 +451,21 @@ def test_twa_sharded_gspmd_matches_xla():
         )
     finally:
         ptwa.INTERPRET = False
+
+
+def test_state_sharding_rank_aware():
+    """The carried-state sharding puts 'spatial' on the ROW axis for both
+    state ranks: UAVSal (V,H,W,C) and UAVSalLSTM (V,2,H,W,C) — a fixed
+    rank-4 spec would shard the LSTM's size-2 h/c axis instead."""
+    from jax.sharding import PartitionSpec as P
+
+    from iip_uavsal_saliency_tpu.models.uavsal import UAVSalLSTM
+    from iip_uavsal_saliency_tpu.parallel.steps import _state_sharding
+
+    mesh = make_mesh(n_data=2, n_spatial=4)
+    assert _state_sharding(UAVSal(time_dims=5), mesh).spec == P(
+        "data", "spatial", None, None
+    )
+    assert _state_sharding(UAVSalLSTM(time_dims=5), mesh).spec == P(
+        "data", None, "spatial", None, None
+    )
