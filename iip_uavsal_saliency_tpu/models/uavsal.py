@@ -95,13 +95,13 @@ class MultiPriors(nn.Module):
             g = _stream(gauss_prior)  # (1|S, Ho, Wo, 8)
             g = DWBlock(CB_OUPLANES[0], 3, name="gauss_cb_layer_0")(g, train)
             g = DWBlock(CB_OUPLANES[0], 3, name="gauss_cb_layer_1")(g, train)
-            cb_fu.append(jnp.broadcast_to(g, (s, ho, wo, CB_OUPLANES[0])))
+            cb_fu.append(g)  # (1|S, Ho, Wo, 64)
 
         if use_ob:
             o = _stream(ob_prior)  # (1|S, Ho, Wo, 20)
             o = DWBlock(CB_OUPLANES[1], 3, name="ob_cb_layer_0")(o, train)
             o = DWBlock(CB_OUPLANES[1], 3, name="ob_cb_layer_1")(o, train)
-            cb_fu.append(jnp.broadcast_to(o, (s, ho, wo, CB_OUPLANES[1])))
+            cb_fu.append(o)  # (1|S, Ho, Wo, 64)
 
         if use_cxt:
             t = self.time_dims
@@ -110,16 +110,35 @@ class MultiPriors(nn.Module):
             cxt = DWBlock(CB_OUPLANES[2], 3, stride=2, name="cxt_cb_prior_0")(x_cb, train)
             cxt = DWBlock(CB_OUPLANES[2], 3, stride=2, name="cxt_cb_prior_1")(cxt, train)
             cxt = resize_bilinear_align_corners(cxt, ho, wo)
-            if self.compat_cxt_tile:
-                # reference: cb_cxt.repeat(time_dims,1,1,1) — t-major tiling
-                cxt = jnp.tile(cxt, (t, 1, 1, 1))
-            else:
-                cxt = jnp.repeat(cxt, t, axis=0)  # group-major (frame-aligned)
+            if train:
+                if self.compat_cxt_tile:
+                    # reference: cb_cxt.repeat(time_dims,1,1,1) — t-major tiling
+                    cxt = jnp.tile(cxt, (t, 1, 1, 1))
+                else:
+                    cxt = jnp.repeat(cxt, t, axis=0)  # group-major (frame-aligned)
             cb_fu.append(cxt)
 
-        cb = jnp.concatenate(cb_fu, axis=-1)
+        # Every prior stream is constant within a time_dims window, so the
+        # fused-prior conv has only G = S/time_dims distinct inputs (1 with
+        # the context stream off). Eval-mode BN is pointwise, so running
+        # fucb on the distinct rows and tiling AFTER is exact — and skips
+        # 1 - 1/time_dims of its FLOPs plus the full-S expand intermediate's
+        # HBM round trip (~660 MB/step at S=80, 360x640). Train mode keeps
+        # the reference's full-S batch: the running-stat EMA's unbiased
+        # n/(n-1) correction depends on the batch size the reference used.
+        b0 = s if train else (groups if use_cxt else 1)
+        cb = jnp.concatenate(
+            [jnp.broadcast_to(p, (b0,) + p.shape[1:]) for p in cb_fu], axis=-1
+        )
         cb_last = self.planes // 4
         x_cb = DWBlock(cb_last, 3, name="fucb_layer")(cb, train)
+        if b0 != s:
+            if use_cxt and self.compat_cxt_tile:
+                x_cb = jnp.tile(x_cb, (self.time_dims, 1, 1, 1))
+            elif use_cxt:
+                x_cb = jnp.repeat(x_cb, self.time_dims, axis=0)
+            else:
+                x_cb = jnp.broadcast_to(x_cb, (s,) + x_cb.shape[1:])
         x = DWBlock(self.planes, 3, name="fucbst_layer")(
             jnp.concatenate([x, x_cb], axis=-1), train
         )

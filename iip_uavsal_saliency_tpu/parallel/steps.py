@@ -32,7 +32,8 @@ def _state_sharding(model, mesh):
     'spatial'. UAVSal carries (V, H, W, C); UAVSalLSTM carries (V, 2, H, W, C)
     — the row axis is always ndim-3, and a fixed rank-4 spec would land
     'spatial' on the LSTM's size-2 h/c axis instead."""
-    ndim = model.init_state(8, 8, 1).ndim
+    # eval_shape: rank only, no device allocation (the relay can stall loads)
+    ndim = jax.eval_shape(lambda: model.init_state(8, 8, 1)).ndim
     return data_sharding(mesh, ndim, spatial_axis=ndim - 3)
 
 

@@ -278,3 +278,102 @@ def test_zoo_adapter_no_cross_video_leak(name, kwargs):
             np.asarray(out2[v]), np.asarray(out1[0]), atol=1e-5,
             err_msg=f"video {v} differs when batched — cross-video leak",
         )
+
+
+import flax.linen as _nn
+
+
+class _NaiveMultiPriors(_nn.Module):
+    """Pre-hoist MultiPriors forward: every prior stream broadcast to the
+    full S frames BEFORE the fucb conv (the reference's per-frame layout,
+    model.py:346-365). Same submodule names as MultiPriors, so one set of
+    variables drives both — the production module's eval-mode fucb hoist
+    (compute G distinct rows, tile after) must match this exactly."""
+
+    planes: int = 256
+    time_dims: int = 5
+    bias_type: tuple = (1, 1, 1)
+    compat_cxt_tile: bool = True
+
+    @_nn.compact
+    def __call__(self, x, gauss_prior, ob_prior, train: bool = False):
+        from iip_uavsal_saliency_tpu.models.uavsal import CB_OUPLANES
+        from iip_uavsal_saliency_tpu.ops.layers import DWBlock
+        from iip_uavsal_saliency_tpu.ops.resize import resize_bilinear_align_corners
+
+        use_gauss, use_ob, use_cxt = [bool(b) for b in self.bias_type]
+        s, ho, wo, c = x.shape
+        cb_fu = []
+
+        def _stream(prior):
+            p = prior[None]
+            return jnp.broadcast_to(p, (s,) + prior.shape) if train else p
+
+        if use_gauss:
+            g = _stream(gauss_prior)
+            g = DWBlock(CB_OUPLANES[0], 3, name="gauss_cb_layer_0")(g, train)
+            g = DWBlock(CB_OUPLANES[0], 3, name="gauss_cb_layer_1")(g, train)
+            cb_fu.append(jnp.broadcast_to(g, (s, ho, wo, CB_OUPLANES[0])))
+        if use_ob:
+            o = _stream(ob_prior)
+            o = DWBlock(CB_OUPLANES[1], 3, name="ob_cb_layer_0")(o, train)
+            o = DWBlock(CB_OUPLANES[1], 3, name="ob_cb_layer_1")(o, train)
+            cb_fu.append(jnp.broadcast_to(o, (s, ho, wo, CB_OUPLANES[1])))
+        if use_cxt:
+            t = self.time_dims
+            x_cb = x.reshape(s // t, t, ho, wo, c).sum(axis=1)
+            cxt = DWBlock(CB_OUPLANES[2], 3, stride=2, name="cxt_cb_prior_0")(x_cb, train)
+            cxt = DWBlock(CB_OUPLANES[2], 3, stride=2, name="cxt_cb_prior_1")(cxt, train)
+            cxt = resize_bilinear_align_corners(cxt, ho, wo)
+            if self.compat_cxt_tile:
+                cxt = jnp.tile(cxt, (t, 1, 1, 1))
+            else:
+                cxt = jnp.repeat(cxt, t, axis=0)
+            cb_fu.append(cxt)
+
+        cb = jnp.concatenate(cb_fu, axis=-1)
+        x_cb = DWBlock(self.planes // 4, 3, name="fucb_layer")(cb, train)
+        return DWBlock(self.planes, 3, name="fucbst_layer")(
+            jnp.concatenate([x, x_cb], axis=-1), train
+        )
+
+
+@pytest.mark.parametrize("bias_type,compat", [
+    ((1, 1, 1), True),   # flagship: t-major context tile
+    ((1, 1, 1), False),  # group-major tile
+    ((1, 0, 1), True),   # the pipeline default (no observed priors)
+    ((1, 1, 0), False),  # no context: fucb input is fully clip-constant
+    ((0, 0, 1), True),   # context only
+])
+def test_multipriors_fucb_hoist_exact(bias_type, compat):
+    """Eval-mode fucb hoist (run the prior-fusion conv on the G distinct
+    window rows, tile after) == the naive full-S forward, exactly: eval BN
+    is pointwise, so conv-then-tile commutes with tile-then-conv. Train
+    mode must also agree (both run the reference's full-S batch there)."""
+    from iip_uavsal_saliency_tpu.models.uavsal import MultiPriors
+
+    t, groups = 5, 3
+    s, ho, wo, c = t * groups, 8, 16, 64
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(s, ho, wo, c).astype(np.float32))
+    g = jnp.asarray(rng.rand(ho, wo, 8).astype(np.float32))
+    o = jnp.asarray(rng.rand(ho, wo, 20).astype(np.float32))
+
+    kw = dict(planes=c, time_dims=t, bias_type=bias_type, compat_cxt_tile=compat)
+    naive = _NaiveMultiPriors(**kw)
+    hoisted = MultiPriors(**kw)
+    variables = jax.jit(naive.init)(jax.random.PRNGKey(0), x, g, o)
+
+    want = naive.apply(variables, x, g, o)
+    got = hoisted.apply(variables, x, g, o)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+    for mod in (naive, hoisted):  # train mode: same path, same BN stat updates
+        out, mut = mod.apply(variables, x, g, o, True, mutable=["batch_stats"])
+        if mod is naive:
+            want_out, want_mut = out, mut
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want_out), atol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6),
+        mut, want_mut,
+    )
