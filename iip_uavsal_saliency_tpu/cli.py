@@ -73,6 +73,7 @@ def cmd_train(cfg: Config):
         videos_per_step=cfg.videos_per_step,
         resume=cfg.resume,
         mixed_precision=cfg.mixed_precision,
+        remat=cfg.remat,
     )
     pre_vars = None
     if cfg.pre_model_path:

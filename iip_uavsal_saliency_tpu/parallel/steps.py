@@ -111,6 +111,7 @@ def make_train_step(
     donate: bool = True,
     state_shardings=None,
     compute_dtype=None,
+    remat: bool = False,
 ):
     """Build the jitted TBPTT train step.
 
@@ -131,6 +132,13 @@ def make_train_step(
     statistics are computed from bf16 activations (the documented tradeoff
     of the opt-in), but the running-stat EMA accumulates in f32 (see
     _accumulate_bn) so the masters never re-quantize.
+
+    `remat=True` wraps the forward in `jax.checkpoint`: the backward pass
+    recomputes activations instead of storing them, shrinking peak HBM from
+    O(activations of the whole clip) to O(inputs + params) at the cost of
+    one extra forward (~+33% step FLOPs). Use it to fit larger
+    batch_size*time_dims clips (or 360x640 multi-video groups) on one chip;
+    gradients are bit-identical to the unrematerialized step.
     """
 
     model = _partitionable_model(model, mesh)
@@ -167,17 +175,22 @@ def make_train_step(
             old_f32, old_cast, mutated,
         )
 
+    def _forward(params_c, bs_c, x_c, gauss_c, ob_c, rnn_c):
+        return model.apply(
+            {"params": params_c, "batch_stats": bs_c},
+            x_c, gauss_c, ob_c, rnn_c,
+            train=True,
+            mutable=["batch_stats"],
+        )
+
+    forward = jax.checkpoint(_forward) if remat else _forward
+
     def step(state: TrainState, x, gauss, ob, rnn_state, y_true):
         def compute_loss(params):
             bs_cast = cast(state.batch_stats)
-            (out, new_rnn), mutated = model.apply(
-                {"params": cast(params), "batch_stats": bs_cast},
-                cast(x),
-                cast(gauss),
-                cast(ob),
+            (out, new_rnn), mutated = forward(
+                cast(params), bs_cast, cast(x), cast(gauss), cast(ob),
                 cast(rnn_state),
-                train=True,
-                mutable=["batch_stats"],
             )
             v, s = out.shape[0], out.shape[1]
             out = out.astype(jnp.float32)  # loss + grads in f32

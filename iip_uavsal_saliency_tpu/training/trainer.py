@@ -76,6 +76,7 @@ class TrainConfig:
     resume: bool = False         # continue from the latest epoch checkpoint
     loss_name: str = "fu"        # any training.losses.LOSSES key
     mixed_precision: bool = False  # bf16 compute, f32 masters (~2x step speed)
+    remat: bool = False          # recompute fwd in bwd: big clips in less HBM
 
 
 def _masked_loss(loss_fn: Callable):
@@ -200,6 +201,7 @@ class Trainer:
             self.model, self.tx, loss_fn=_masked_loss(loss), mesh=mesh, donate=False,
             state_shardings=shardings,
             compute_dtype=jnp.bfloat16 if config.mixed_precision else None,
+            remat=config.remat,
         )
         self.eval_step = make_eval_step(
             self.model, loss_fn=_masked_loss(loss), mesh=mesh,
