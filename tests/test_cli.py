@@ -53,3 +53,14 @@ def test_split_cli_missing_value():
 def test_config_resume_and_videos_flags():
     cfg = load_config(None, ["--resume", "true", "--videos_per_step", "2"])
     assert cfg.resume is True and cfg.videos_per_step == 2
+
+
+def test_config_remat_flag():
+    cfg = load_config(None, ["--remat", "true", "--mixed_precision", "1"])
+    assert cfg.remat is True and cfg.mixed_precision is True
+    assert load_config(None, []).remat is False
+
+    # the flag must reach the Trainer's step-construction config
+    from iip_uavsal_saliency_tpu.training.trainer import TrainConfig
+
+    assert TrainConfig(remat=True).remat is True
