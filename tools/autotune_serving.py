@@ -1,0 +1,143 @@
+"""Serving-shape autotuner: find the fastest clip length for this chip.
+
+Sweeps candidate clips-per-step values (S = clips * time_dims frames per
+dispatch) over the real streaming serving step and reports each one's
+throughput and latency, then the winner. Longer steps amortize fixed
+per-step costs (scan setup, kernel launches, the recurrence's sequential
+tail) but cost dispatch latency; the optimum is chip- and host-specific
+(S=80 on the v5e this repo was tuned on — docs/PERF.md).
+
+Methodology matches bench.py (docs/PERF.md "Measurement integrity"):
+chained donated state, per-region HOST SCALAR FETCH sync (block_until_ready
+returns early through the axon relay), best-of-N repeats (stalls only add
+time). Run tools/relay_health.py first; numbers taken during a relay
+program-load stall are garbage.
+
+Usage:
+    python tools/autotune_serving.py [--candidates 4,8,16,32]
+        [--height 360] [--width 640] [--dtype bf16] [--steps 12]
+
+Prints one JSON line: {"best_clips": N, "best_fps": F, "results": {...}}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def measure_streaming(model, variables, h, w, clips, time_dims, videos,
+                      steps, repeats, compute_dtype):
+    """Best-of-N streaming FPS for one serving shape (bench.py methodology)."""
+    import jax
+    import jax.numpy as jnp
+
+    from iip_uavsal_saliency_tpu.parallel.steps import make_infer_step
+
+    s = clips * time_dims
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randint(0, 255, (videos, s, h, w, 3), np.uint8))
+    gauss = jnp.asarray(rng.rand(h // 8, w // 8, 8).astype(np.float32))
+    ob = jnp.asarray(rng.rand(h // 8, w // 8, 20).astype(np.float32))
+    state = model.init_state(h, w, videos)
+    if compute_dtype is not None:
+        gauss, ob, state = jax.jit(
+            lambda t: jax.tree_util.tree_map(
+                lambda a: a.astype(compute_dtype)
+                if a.dtype == jnp.float32 else a, t
+            )
+        )((gauss, ob, state))
+
+    infer = make_infer_step(model, compute_dtype=compute_dtype, donate_state=True)
+    params, batch_stats = variables["params"], variables.get("batch_stats", {})
+
+    out, st = infer(params, batch_stats, x, gauss, ob, state)
+    for _ in range(2):  # warmup
+        out, st = infer(params, batch_stats, x, gauss, ob, st)
+    float(out.astype(jnp.float32).sum())  # true sync
+
+    times = []
+    for _ in range(max(1, repeats)):
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            out, st = infer(params, batch_stats, x, gauss, ob, st)
+        float(out.astype(jnp.float32).sum())
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    return {
+        "clips": clips,
+        "frames_per_step": videos * s,
+        "fps": round(steps * videos * s / dt, 1),
+        "ms_per_step": round(dt / steps * 1e3, 2),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--candidates", default="4,8,16,32",
+                    help="comma-separated clips-per-step values to sweep")
+    ap.add_argument("--height", type=int, default=360)
+    ap.add_argument("--width", type=int, default=640)
+    ap.add_argument("--time-dims", type=int, default=5)
+    ap.add_argument("--videos", type=int, default=1)
+    ap.add_argument("--steps", type=int, default=12)
+    ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--dtype", choices=["f32", "bf16"], default="bf16")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+    import jax.numpy as jnp
+
+    from iip_uavsal_saliency_tpu.models import UAVSal, init_variables
+
+    h, w, t = args.height, args.width, args.time_dims
+    compute_dtype = jnp.bfloat16 if args.dtype == "bf16" else None
+    model = UAVSal(time_dims=t)
+    rng = np.random.RandomState(0)
+    x0 = jnp.asarray(rng.rand(args.videos, t, h, w, 3).astype(np.float32))
+    gauss = jnp.asarray(rng.rand(h // 8, w // 8, 8).astype(np.float32))
+    ob = jnp.asarray(rng.rand(h // 8, w // 8, 20).astype(np.float32))
+    st0 = model.init_state(h, w, args.videos)
+    variables = init_variables(model, jax.random.PRNGKey(0), x0, gauss, ob, st0)
+    if compute_dtype is not None:
+        variables = jax.jit(
+            lambda v: jax.tree_util.tree_map(
+                lambda a: a.astype(compute_dtype)
+                if a.dtype == jnp.float32 else a, v
+            )
+        )(variables)
+
+    results = {}
+    for clips in [int(c) for c in args.candidates.split(",")]:
+        r = measure_streaming(
+            model, variables, h, w, clips, t, args.videos,
+            args.steps, args.repeats, compute_dtype,
+        )
+        results[clips] = r
+        print(f"clips={clips:3d} (S={clips * t:4d}): {r['fps']:7.1f} FPS  "
+              f"{r['ms_per_step']:7.2f} ms/step", file=sys.stderr, flush=True)
+
+    best = max(results.values(), key=lambda r: r["fps"])
+    print(json.dumps({
+        "best_clips": best["clips"],
+        "best_fps": best["fps"],
+        "results": {str(k): v for k, v in results.items()},
+    }))
+
+
+if __name__ == "__main__":
+    main()
