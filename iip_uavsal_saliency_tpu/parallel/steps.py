@@ -317,7 +317,9 @@ def make_infer_step(model, mesh=None, out_dtype=None, compute_dtype=None,
 
         rep_spec = P()
         x_spec = P("data", None, None, None, None)
-        s_spec = P("data", None, None, None)
+        # rank-aware: UAVSal state is rank 4, UAVSalLSTM's h/c stack rank 5
+        s_ndim = jax.eval_shape(lambda: model.init_state(8, 8, 1)).ndim
+        s_spec = P("data", *([None] * (s_ndim - 1)))
         # check_vma=False: the per-device program has no collectives (eval
         # mode, no cross-video op), and the Pallas TWA custom call cannot
         # declare varying-mesh-axes on its out_shape — with checking on,

@@ -469,3 +469,30 @@ def test_state_sharding_rank_aware():
     assert _state_sharding(UAVSalLSTM(time_dims=5), mesh).spec == P(
         "data", None, "spatial", None, None
     )
+
+
+def test_infer_step_dp_shard_map_lstm_state_rank():
+    """The pure-DP shard_map serving path must accept the LSTM's rank-5
+    carried state (a fixed rank-4 spec raises a shard_map rank mismatch)."""
+    from iip_uavsal_saliency_tpu.models.uavsal import UAVSalLSTM
+    from iip_uavsal_saliency_tpu.parallel.steps import make_infer_step
+
+    mesh = make_mesh(n_data=2)
+    model = UAVSalLSTM(time_dims=2, num_stblock=1)
+    h = w = 32
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randint(0, 255, (2, 2, h, w, 3), np.uint8))
+    g = jnp.asarray(rng.rand(h // 8, w // 8, 8).astype(np.float32))
+    o = jnp.asarray(rng.rand(h // 8, w // 8, 20).astype(np.float32))
+    st = model.init_state(h, w, 2)
+    xf = x.astype(jnp.float32) / 255.0
+    from iip_uavsal_saliency_tpu.models import init_variables
+
+    variables = init_variables(model, jax.random.PRNGKey(0), xf, g, o, st)
+    step = make_infer_step(model, mesh=mesh)
+    out, new_st = step(
+        variables["params"], variables.get("batch_stats", {}), x, g, o, st
+    )
+    assert out.shape == (2, 2, h // 8, w // 8, 1)
+    assert new_st.shape == st.shape
+    assert bool(jnp.isfinite(out).all())
