@@ -27,7 +27,6 @@ Usage:
 
 import argparse
 import os
-import sys
 
 
 def build_dataset(root, n_videos=2, frames=8, h=48, w=72, seed=0):
@@ -59,7 +58,13 @@ def build_dataset(root, n_videos=2, frames=8, h=48, w=72, seed=0):
             floc[yy, xx, 0, t] = 1
             blur = np.zeros((h, w), np.float32)
             blur[yy, xx] = 255
-            fmap[:, :, 0, t] = cv2.GaussianBlur(blur, (21, 21), 6).astype(np.uint8)
+            blur = cv2.GaussianBlur(blur, (21, 21), 6)
+            # normalize to peak 255: GaussianBlur preserves the SUM, so the
+            # raw peak is ~1 and would truncate to a GT that vanishes when
+            # letterboxed down to the 8x8 training maps (clips with empty GT
+            # are skipped by the trainer — the demo would silently train on
+            # fewer clips)
+            fmap[:, :, 0, t] = (blur / blur.max() * 255).astype(np.uint8)
         savemat(os.path.join(root, "maps", name + "_fixMaps.mat"), {"fixMap": fmap})
         savemat(
             os.path.join(root, "fixations", "maps", name + "_fixPts.mat"),

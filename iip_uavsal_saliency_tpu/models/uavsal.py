@@ -78,7 +78,6 @@ class MultiPriors(nn.Module):
 
         s, ho, wo, c = x.shape
         cb_fu = []
-        n_frames_parts = []
 
         # Eval mode runs the prior convs ONCE and broadcasts (1/S FLOPs,
         # identical outputs). Train mode runs them on the S frame-copies the

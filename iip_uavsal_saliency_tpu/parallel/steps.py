@@ -138,7 +138,9 @@ def make_train_step(
     O(activations of the whole clip) to O(inputs + params) at the cost of
     one extra forward (~+33% step FLOPs). Use it to fit larger
     batch_size*time_dims clips (or 360x640 multi-video groups) on one chip;
-    gradients are bit-identical to the unrematerialized step.
+    gradients match the unrematerialized step to f32 rounding (the
+    recomputed backward may reassociate reductions — see
+    tests/test_mixed_precision.py for the measured noise floor).
     """
 
     model = _partitionable_model(model, mesh)

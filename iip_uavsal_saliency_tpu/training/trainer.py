@@ -16,9 +16,11 @@ TPU-native equivalent of the reference's inline train() function
 
 TPU specifics:
 - the forward/backward/Adam of one clip is a single jitted XLA program;
-- ragged final clips are right-padded with repeated frames and the loss is
-  masked, so ONE compiled program handles every clip (no recompiles; the
-  reference instead runs a smaller last batch);
+- single-video training runs a video's ragged final clip at its TRUE size
+  (the reference's exact smaller-last-batch semantics; at most batch_size
+  cached step shapes). The multi-video DP path instead right-pads ragged
+  clips with repeated frames and masks the loss so groups stack into one
+  program (see _video_clips);
 - frames ship to the device as uint8 (normalize fused on-chip);
 - optional Mesh for data-parallel training over multiple videos at once
   (`videos_per_step > 1`), a capability the reference lacks.
