@@ -74,6 +74,7 @@ def cmd_train(cfg: Config):
         resume=cfg.resume,
         mixed_precision=cfg.mixed_precision,
         remat=cfg.remat,
+        prefetch_decode=cfg.prefetch_decode,
     )
     pre_vars = None
     if cfg.pre_model_path:

@@ -79,6 +79,7 @@ class TrainConfig:
     loss_name: str = "fu"        # any training.losses.LOSSES key
     mixed_precision: bool = False  # bf16 compute, f32 masters (~2x step speed)
     remat: bool = False          # recompute fwd in bwd: big clips in less HBM
+    prefetch_decode: bool = True  # decode video k+1 while k steps on device
 
 
 def _masked_loss(loss_fn: Callable):
@@ -272,6 +273,18 @@ class Trainer:
             )
         return float(loss), rnn_state
 
+    def _decode_iter(self, items, load):
+        """Iterate `load(item)` with one-ahead background decode (the same
+        overlap the serving runner uses): video k+1 letterboxes on a worker
+        thread while video k's clips step on the device. OpenCV and numpy
+        release the GIL, so decode and device dispatch genuinely overlap on
+        multi-core hosts. `prefetch_decode=False` restores serial decode."""
+        if not self.cfg.prefetch_decode or len(items) < 2:
+            return (load(it) for it in items)
+        from ..data.loaders import _prefetched
+
+        return _prefetched(items, load, prefetch=1)
+
     def _run_epoch(self, phase: str) -> float:
         cfg = self.cfg
         shape_r, shape_c = cfg.iosize[:2]
@@ -285,9 +298,13 @@ class Trainer:
                 phase, videos, vidmaps, vidfixs, max_frames
             )
         run_loss, num_step = 0.0, 0
-        for idx, (vp, mp, fp) in enumerate(zip(videos, vidmaps, vidfixs)):
+        triples = list(zip(videos, vidmaps, vidfixs))
+        clip_iter = self._decode_iter(
+            triples, lambda t: self._video_clips(*t, max_frames)
+        )
+        for idx, clips in enumerate(clip_iter):
+            vp = triples[idx][0]
             log.info("%s video %d/%d: %s", phase, idx + 1, len(videos), os.path.basename(vp))
-            clips = self._video_clips(vp, mp, fp, max_frames)
             rnn_state = self.model.init_state(shape_r, shape_c, 1)
             video_loss, n_clips = 0.0, 0
             for x, y in clips:
@@ -327,13 +344,18 @@ class Trainer:
         except Exception:  # unreadable header: keep list order
             log.warning("length-bucketing skipped: frame-count probe failed")
         run_loss, num_step = 0.0, 0
-        for g0 in range(0, len(videos), v_per):
-            group = triples[g0 : g0 + v_per]
-            log.info("%s videos %d-%d/%d", phase, g0 + 1, g0 + len(group), len(videos))
-            clip_lists = [
+        groups = [triples[g0 : g0 + v_per] for g0 in range(0, len(videos), v_per)]
+        group_iter = self._decode_iter(
+            groups,
+            lambda grp: [
                 self._video_clips(vp, mp, fp, max_frames, pad_ragged=True)
-                for vp, mp, fp in group
-            ]
+                for vp, mp, fp in grp
+            ],
+        )
+        for gi, clip_lists in enumerate(group_iter):
+            group = groups[gi]
+            g0 = gi * v_per
+            log.info("%s videos %d-%d/%d", phase, g0 + 1, g0 + len(group), len(videos))
             # pad the group itself (last group may be short): duplicate the
             # first video with a fully-masked clip list
             while len(clip_lists) < v_per:

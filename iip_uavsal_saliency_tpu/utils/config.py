@@ -50,6 +50,7 @@ class Config:
     resume: bool = False       # continue from the latest epoch checkpoint
     mixed_precision: bool = False  # bf16 train compute, f32 masters (~2x)
     remat: bool = False        # recompute fwd in bwd: larger clips per chip
+    prefetch_decode: bool = True  # train: decode video k+1 while k steps
     videos_per_batch: int = 1  # >1: batched multi-video inference
     serve_bf16: bool = True    # bf16 serving path for `test` (f32: parity)
     # AUC-Borji/shuffled on device (False: host path). None = default: device

@@ -56,9 +56,12 @@ def test_config_resume_and_videos_flags():
 
 
 def test_config_remat_flag():
-    cfg = load_config(None, ["--remat", "true", "--mixed_precision", "1"])
+    cfg = load_config(None, ["--remat", "true", "--mixed_precision", "1",
+                             "--prefetch_decode", "false"])
     assert cfg.remat is True and cfg.mixed_precision is True
-    assert load_config(None, []).remat is False
+    assert cfg.prefetch_decode is False
+    base = load_config(None, [])
+    assert base.remat is False and base.prefetch_decode is True
 
     # the flag must reach the Trainer's step-construction config
     from iip_uavsal_saliency_tpu.training.trainer import TrainConfig

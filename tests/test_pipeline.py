@@ -482,3 +482,25 @@ def test_ragged_final_clip_exact_vs_padded(video_dataset, tmp_path_factory):
     np.testing.assert_array_equal(padded[1][1][:2, :, :, 2], 1.0)
     np.testing.assert_array_equal(padded[1][1][2:, :, :, 2], 0.0)
     np.testing.assert_array_equal(padded[1][0][2:], np.repeat(padded[1][0][1:2], 4, 0))
+
+
+@pytest.mark.parametrize("v_per", [1, 2])
+def test_prefetch_decode_equivalence(video_dataset, tmp_path_factory, v_per):
+    """Background one-ahead decode must not change training: same epoch mean
+    loss as serial decode, for both the single-video and the multi-video DP
+    epoch paths (decode is independent of stepping; order is preserved)."""
+    losses = {}
+    for pref in (True, False):
+        cfg = TrainConfig(
+            method_name=f"Pf{v_per}{pref}", iosize=IOSIZE, time_dims=TIME_DIMS,
+            batch_size=1, epochs=1, bias_type=(1, 0, 1), freeze=(),
+            is_early_stop=False, shuffle_train=False,
+            videos_per_step=v_per, prefetch_decode=pref,
+        )
+        trainer = Trainer(
+            cfg, video_dataset, "UAV2",
+            str(tmp_path_factory.mktemp(f"w_pf{v_per}{pref}")), ext=".avi",
+            priors_cache_dir=str(tmp_path_factory.mktemp(f"p_pf{v_per}{pref}")),
+        )
+        losses[pref] = trainer._run_epoch("train")
+    assert losses[True] == pytest.approx(losses[False], rel=1e-6)
