@@ -23,24 +23,29 @@ except Exception:  # pragma: no cover
 
 
 def decode_video(path: str, max_frames: float = float("inf")) -> Tuple[np.ndarray, int, int, int]:
-    """Decode all frames (BGR uint8). Returns (frames(T,H,W,3), n, height, width)."""
+    """Decode all frames (BGR uint8). Returns (frames(T,H,W,3), n, height, width).
+
+    The container header's CAP_PROP_FRAME_COUNT is treated as a hint, not
+    a bound: decoding runs until cap.read() fails (or max_frames), so
+    headers that UNDERcount (VFR / stream-muxed files, count=0 webms)
+    don't silently drop the tail, and headers that overcount don't yield
+    fabricated black frames."""
     if cv2 is None:
         raise RuntimeError("OpenCV (cv2) required for video decode")
     cap = cv2.VideoCapture(path)
-    nframes = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
     width = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
     height = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
-    nframes = int(min(nframes, max_frames))
-    frames = np.zeros((nframes, height, width, 3), np.uint8)
-    for i in range(nframes):
+    out = []
+    while len(out) < max_frames:
         ret, frame = cap.read()
         if not ret:
-            frames = frames[:i]
-            nframes = i
             break
-        frames[i] = frame
+        out.append(frame)
     cap.release()
-    return frames, nframes, height, width
+    frames = (
+        np.stack(out) if out else np.zeros((0, height, width, 3), np.uint8)
+    )
+    return frames, len(out), height, width
 
 
 def probe_nframes(path: str) -> int:
@@ -68,26 +73,24 @@ def preprocess_videos(
     if cv2 is None:
         raise RuntimeError("OpenCV (cv2) required for video decode")
     cap = cv2.VideoCapture(path)
-    nframes = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
     width = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
     height = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
-    nframes = int(min(nframes, frames))
 
-    ims = np.zeros((nframes, shape_r, shape_c, 3), np.uint8)
-    decoded = 0
-    for i in range(nframes):
+    # Header frame counts lie in both directions (VFR/stream-muxed files:
+    # undercount or 0; some encoders: overcount): decode until cap.read()
+    # fails. Every consumer pairs frames with GT by min(), so extra real
+    # frames are safe and missing fabricated ones are a correctness fix.
+    out = []
+    while len(out) < frames:
         ret, frame = cap.read()
         if not ret:
             break
-        ims[i] = padding(frame, shape_r, shape_c, 3)
-        decoded = i + 1
+        out.append(padding(frame, shape_r, shape_c, 3))
     cap.release()
-    if decoded < nframes:
-        # the container header overcounted (common for VFR files): truncate
-        # to what actually decoded rather than returning fabricated black
-        # frames counted as real (decode_video in this file does the same)
-        ims = ims[:decoded]
-        nframes = decoded
+    nframes = len(out)
+    ims = (
+        np.stack(out) if out else np.zeros((0, shape_r, shape_c, 3), np.uint8)
+    )
 
     if mode == "RGB":
         ims = ims[:, :, :, [2, 1, 0]]

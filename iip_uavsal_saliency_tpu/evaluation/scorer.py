@@ -26,7 +26,6 @@ to the reference-shaped host path (metrics_np, vectorized threshold sweeps).
 
 from __future__ import annotations
 
-import math
 import os
 import time
 from functools import partial
@@ -245,6 +244,12 @@ def _score_video(salmap, fixmap, fixpts, all_fix_pts, keys_order, batch_size, rn
     import cv2
 
     nframes = min(salmap.shape[3], fixpts.shape[3], fixmap.shape[3])
+    if nframes == 0:
+        # runners/infer.py writes an EMPTY salmap for videos shorter than
+        # time_dims; score it as one all-NaN row (the degenerate-frame rule
+        # below) so mean_scores' nanmean skips the video instead of the
+        # whole eval run crashing on an empty concatenate
+        return np.full((1, len(keys_order)), np.nan)
     scores = np.zeros((nframes, len(keys_order)))
 
     # salmap -> GT resolution if needed (reference: utils_score_torch.py:529-536)
@@ -717,14 +722,16 @@ def mean_scores(
     method_names: Sequence[str],
     keys_order: Sequence[str] = KEYS_ORDER,
     save: bool = True,
+    score_subdir: str = "Scores",
 ) -> Dict[str, Dict[str, float]]:
     """Dataset-mean scores per method — NaN-masked per-video frame means then
     video means (replaces reference Tools/Vid_MeanScore.m:49-57). With
-    `save`, writes `Scores/MeanScores.json` and a `(M, K)` matrix to
-    `Scores/MeanScores.mat` (methods in `method_names` order)."""
+    `save`, writes `MeanScores.json` and a `(M, K)` matrix to
+    `MeanScores.mat` under `score_subdir` (methods in `method_names` order).
+    Pass score_subdir='Scores_sum' to aggregate evalscores_vid_sum output."""
     import json
 
-    score_dir = os.path.join(sal_dir, "Scores")
+    score_dir = os.path.join(sal_dir, score_subdir)
     out: Dict[str, Dict[str, float]] = {}
     rows = []
     for method in method_names:

@@ -24,7 +24,6 @@ TPU pipeline details:
 
 from __future__ import annotations
 
-import math
 import os
 import time
 from typing import Optional, Sequence, Tuple
@@ -165,6 +164,15 @@ def test_videos(
             )
 
             v = len(decoded)
+            if v < v_per and len(groups) > 1:
+                # ragged FINAL group: pad with zero-frame dummy entries so
+                # the (V, ...) shapes match the already-compiled program —
+                # an unpadded last group would recompile the whole model
+                # for one batch. Dummies (name=None) produce no clips, no
+                # scatter writes, and no output file.
+                dummy = (None, decoded[0][1][:0], 0, 1, 1)
+                decoded = decoded + [dummy] * (v_per - v)
+                v = v_per
             max_total = max(d[2] for d in decoded)
             state = model.init_state(shape_r, shape_c, v)
             if compute_dtype is not None:
@@ -212,6 +220,8 @@ def test_videos(
                 scatter(*pending)
 
             for (name, _, total, height, width), sal in zip(decoded, sals):
+                if name is None:  # shape-padding dummy: nothing to write
+                    continue
                 pred_mat = np.zeros((height, width, 1, total), np.uint8)
                 for t in range(total):
                     pred_mat[:, :, 0, t] = im2uint8(

@@ -64,11 +64,9 @@ def test_images(
         names.clear()
         sizes.clear()
 
-    from ..data.letterbox import IMAGENET_MEAN, IMAGENET_STD
+    from ..data.letterbox import normalize_frames
 
     in_h, in_w = iosize[0], iosize[1]
-    mean = np.asarray(IMAGENET_MEAN, np.float32)
-    std = np.asarray(IMAGENET_STD, np.float32)
 
     done = 0
     for img_path in imgs:
@@ -79,8 +77,9 @@ def test_images(
         raw = cv2.imread(img_path, cv2.IMREAD_COLOR)  # single decode
         if raw is None:
             raise IOError(f"unreadable image: {img_path}")
-        x = cv2.resize(raw[:, :, ::-1], (in_w, in_h), interpolation=cv2.INTER_LINEAR)
-        x = (x.astype(np.float32) / 255.0 - mean) / std
+        x = normalize_frames(
+            cv2.resize(raw[:, :, ::-1], (in_w, in_h), interpolation=cv2.INTER_LINEAR)
+        )
         batch.append(x)
         names.append(name)
         sizes.append(raw.shape[:2])

@@ -190,3 +190,23 @@ def test_get_video_list_shuffle_pairs_correctly(tmp_path):
     os.remove(os.path.join(base, "maps", "mid_fixMaps.mat"))
     with pytest.raises(ValueError):
         get_video_list(str(tmp_path), "train", shuffle=False)
+
+
+def test_savemat_compresses_large_arrays(tmp_path):
+    """Arrays over the 16 KiB threshold gzip on disk (hdf5storage-style);
+    small arrays skip the filter. Roundtrip stays exact either way."""
+    import h5py
+
+    from iip_uavsal_saliency_tpu.data.matio import loadmat, savemat
+
+    big = (np.arange(720 * 128, dtype=np.uint8) % 97).reshape(720, 128)
+    small = np.arange(12, dtype=np.float32)
+    p = str(tmp_path / "c.mat")
+    savemat(p, {"big": big, "small": small})
+    with h5py.File(p, "r") as f:
+        assert f["big"].compression == "gzip"
+        assert f["small"].compression is None
+    np.testing.assert_array_equal(loadmat(p, "big"), big)
+    np.testing.assert_array_equal(loadmat(p, "small"), small)
+    # compressible content actually shrinks vs raw nbytes
+    assert os.path.getsize(p) < big.nbytes

@@ -390,3 +390,17 @@ def test_score_image_batch_close_to_host():
     for k, key in enumerate(KEYS_ORDER):
         tol = 0.05 if "AUC" in key else 1e-4
         np.testing.assert_allclose(got[:, k], want[:, k], atol=tol, rtol=0.01)
+
+
+def test_score_video_zero_frames_nan_row():
+    """runners/infer.py writes EMPTY salmaps for videos shorter than
+    time_dims; the scorer must yield one all-NaN row (skipped by
+    mean_scores' nanmean) instead of crashing on an empty concatenate."""
+    from iip_uavsal_saliency_tpu.evaluation.scorer import KEYS_ORDER, _score_video
+
+    sal = np.zeros((8, 8, 1, 0), np.uint8)
+    fm = np.zeros((8, 8, 1, 5), np.uint8)
+    fp = np.zeros((8, 8, 1, 5), np.uint8)
+    out = _score_video(sal, fm, fp, [], KEYS_ORDER, 4, np.random.RandomState(0))
+    assert out.shape == (1, len(KEYS_ORDER))
+    assert np.isnan(out).all()

@@ -504,3 +504,27 @@ def test_prefetch_decode_equivalence(video_dataset, tmp_path_factory, v_per):
         )
         losses[pref] = trainer._run_epoch("train")
     assert losses[True] == pytest.approx(losses[False], rel=1e-6)
+
+
+def test_infer_ragged_final_group(trained, video_dataset, tmp_path_factory):
+    """videos_per_batch=2 with 3 pending videos: the final 1-video group is
+    shape-padded with a discarded dummy so the compiled program is reused —
+    all 3 salmaps written, nothing extra."""
+    trainer, state, _ = trained
+    src = tmp_path_factory.mktemp("ragged_vids")
+    rng = np.random.RandomState(7)
+    for name in ("ra", "rb", "rc"):
+        _write_video(os.path.join(str(src), name + ".avi"), rng)
+    out_path = str(tmp_path_factory.mktemp("ragged_out"))
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    run_test_videos(
+        str(src), out_path, trainer.model, variables,
+        iosize=IOSIZE, batch_size=1, time_dims=TIME_DIMS, bias_type=(1, 0, 1),
+        method_name="Rag", videos_per_batch=2,
+    )
+    written = sorted(os.listdir(os.path.join(out_path, "Rag")))
+    assert written == ["ra.mat", "rb.mat", "rc.mat"]
+    for f in written:
+        sal = loadmat(os.path.join(out_path, "Rag", f), "salmap")
+        assert sal.shape == (NATIVE_H, NATIVE_W, 1, NFRAMES)
+        assert sal.max() == 255
