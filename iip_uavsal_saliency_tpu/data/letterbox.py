@@ -103,6 +103,9 @@ def padding_fixation(img: np.ndarray, shape_r: int = 480, shape_c: int = 640) ->
     img_padded = np.zeros((shape_r, shape_c), np.uint8)
     original_shape = img.shape
     if original_shape[0] == shape_r and original_shape[1] == shape_c:
+        # reference quirk kept for parity (utils_data.py:366-367): same-size
+        # inputs return UNCHANGED (no 0/1 binarization, aliased buffer),
+        # unlike every other size which goes through resize_fixation
         return img
 
     rows_rate = original_shape[0] / shape_r

@@ -60,6 +60,11 @@ def gaussian_priors(height: int, width: int, nb_gaussian: int = 8) -> np.ndarray
 
 def dy_gaussian_priors(height: int, width: int, nb_gaussian: int = 8) -> np.ndarray:
     """Anisotropic variant (reference: utils_data.py:414-447)."""
+    if nb_gaussian != 8:
+        raise ValueError(
+            "dy priors define exactly 8 sigma pairs (reference "
+            f"utils_data.py:423-426); got nb_gaussian={nb_gaussian}"
+        )
     e = height / width
     e1 = (1 - e) / 2
     e2 = e1 + e
@@ -180,11 +185,20 @@ def get_ob_priors(
 
     if not os.path.exists(cache):
         priors_list = _read_ob_prior_list(datapath, phase_gen)
-        if not os.path.exists(priors_list[0]):
+        if not priors_list:
+            raise ValueError(
+                f"empty {phase_gen} split under {datapath}/txt — no videos "
+                "to build observed priors from"
+            )
+        # regenerate if ANY prior PNG is missing (a cache built when only
+        # part of the split existed leaves holes beyond priors_list[0])
+        if not all(os.path.exists(p) for p in priors_list):
             make_mean_maps(datapath)
         maps = np.zeros((shape_r, shape_c, max(channels, len(priors_list))), np.uint8)
         for i, path in enumerate(priors_list):
             original = cv2.imread(path, 0)
+            if original is None:
+                raise FileNotFoundError(f"unreadable observed-prior map: {path}")
             maps[:, :, i] = padding(original, shape_r, shape_c, 1)
         if channels < len(priors_list):
             count = len(priors_list) // channels

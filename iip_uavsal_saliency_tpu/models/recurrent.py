@@ -37,15 +37,9 @@ from jax import lax
 from ..ops.initializers import make_conv_init
 from ..ops.layers import DWBlock
 
-
-def _conv_hwio(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
-    """NHWC 'same' conv with an HWIO kernel (stride 1)."""
-    kh, kw = kernel.shape[0], kernel.shape[1]
-    pad = [(kh // 2, kh // 2), (kw // 2, kw // 2)]
-    return lax.conv_general_dilated(
-        x, kernel, window_strides=(1, 1), padding=pad,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )
+# the cells' gate conv and the Pallas kernel's VJP-recompute path
+# (twa_scan_xla) must stay bit-identical — one shared 'same'-conv helper
+from ..ops.pallas_twa import _conv_hwio
 
 
 class ConvTWA(nn.Module):

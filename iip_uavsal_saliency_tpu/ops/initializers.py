@@ -73,10 +73,17 @@ def uniform(key, shape, dtype=jnp.float32, low: float = 0.0, high: float = 1.0):
 
 
 def orthogonal(key, shape, dtype=jnp.float32, gain: float = 1.0):
-    flat_shape = (int(jnp.prod(jnp.array(shape[:-1]))), shape[-1])
-    a = jax.random.normal(key, flat_shape, dtype)
+    m = int(math.prod(shape[:-1])) if len(shape) > 1 else 1
+    n = shape[-1]
+    # QR needs the tall orientation: for 'wide' kernels (m < n, e.g. a 1x1
+    # expand conv) orthogonalize the transpose and flip back — reduced QR of
+    # an (m, n) m<n matrix returns q of shape (m, m), which cannot fill the
+    # kernel (torch.nn.init.orthogonal_ does the same transpose dance)
+    a = jax.random.normal(key, (max(m, n), min(m, n)), dtype)
     q, r = jnp.linalg.qr(a)
     q = q * jnp.sign(jnp.diagonal(r))
+    if m < n:
+        q = q.T
     return gain * q.reshape(shape)
 
 

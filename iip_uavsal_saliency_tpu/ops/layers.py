@@ -215,14 +215,12 @@ class DWBlock(nn.Module):
         )
 
         if self._fused_path(x, train, expand_mod is not None, use_res):
-            import jax.numpy as _jnp
-
             from .pallas_dwblock import fold_conv_bn, fused_dwblock
 
             # bind the submodule params without running their convs on the
             # real input (dummy 1x1 spatial calls; identical variable tree)
             _ = expand_mod(x[:1, :1, :1, :], False)
-            dummy = _jnp.zeros((1, 1, 1, hidden), x.dtype)
+            dummy = jnp.zeros((1, 1, 1, hidden), x.dtype)
             _ = dw_mod(dummy, False)
             _ = pbn_mod(proj_mod(dummy))
 

@@ -47,6 +47,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _conv_hwio(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """NHWC 'same' conv with an HWIO kernel (stride 1). Shared with
+    models/recurrent.py — the cells and this kernel's VJP recompute must
+    compute the identical conv."""
     kh, kw = kernel.shape[0], kernel.shape[1]
     pad = [(kh // 2, kh // 2), (kw // 2, kw // 2)]
     return lax.conv_general_dilated(
@@ -203,8 +206,12 @@ def supports_pallas(x_shape, dtype) -> bool:
         return False
     if _row_block(h) is None:
         return False
-    # ping-pong state + streamed blocks must fit ~16MB VMEM
-    state_bytes = 2 * (h + 2) * (w + 2) * c * 2
+    # ping-pong state + streamed blocks must fit ~16MB VMEM. Budget with
+    # the ALLOCATED padded width (lane-dim rounds up to 8 sublanes), not
+    # the logical w+2 — narrow inputs otherwise pass the gate and then
+    # fail Mosaic compilation instead of falling back to the XLA scan
+    pw = -(-(w + 2) // 8) * 8
+    state_bytes = 2 * (h + 2) * pw * c * 2
     kern_bytes = 9 * c * c * 2
     rb = _row_block(h)
     block_bytes = 6 * rb * w * c * 2  # x/gx/ys double-buffered

@@ -210,3 +210,11 @@ def test_savemat_compresses_large_arrays(tmp_path):
     np.testing.assert_array_equal(loadmat(p, "small"), small)
     # compressible content actually shrinks vs raw nbytes
     assert os.path.getsize(p) < big.nbytes
+
+
+def test_dy_priors_reject_non8():
+    from iip_uavsal_saliency_tpu.data.priors import dy_gaussian_priors
+
+    with pytest.raises(ValueError, match="8 sigma"):
+        dy_gaussian_priors(45, 80, nb_gaussian=16)
+    assert dy_gaussian_priors(45, 80, nb_gaussian=8).shape == (45, 80, 8)

@@ -134,3 +134,19 @@ def test_dwblock_matches_torch_reference_math():
 
     got = np.asarray(m.apply(v, jnp.asarray(x))).transpose(0, 3, 1, 2)
     np.testing.assert_allclose(got, out_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_orthogonal_init_wide_and_tall():
+    """orthogonal() must handle 'wide' kernels (prod(shape[:-1]) < out_ch,
+    e.g. a 1x1 expand conv) via the transpose dance, and produce orthonormal
+    columns/rows either way."""
+    from iip_uavsal_saliency_tpu.ops.initializers import orthogonal
+
+    key = jax.random.PRNGKey(0)
+    tall = orthogonal(key, (3, 3, 3, 16))       # 27 x 16
+    q = np.asarray(tall).reshape(27, 16)
+    np.testing.assert_allclose(q.T @ q, np.eye(16), atol=1e-5)
+
+    wide = orthogonal(key, (1, 1, 16, 64))      # 16 x 64: crashed before
+    q = np.asarray(wide).reshape(16, 64)
+    np.testing.assert_allclose(q @ q.T, np.eye(16), atol=1e-5)
