@@ -129,6 +129,7 @@ def cmd_test(cfg: Config):
         time_dims=cfg.time_dims,
         num_stblock=cfg.num_stblock,
         bias_type=cfg.bias_type,
+        model_name=cfg.model_name,
     )
     import jax.numpy as jnp
 

@@ -23,8 +23,6 @@ runs in a background thread so device steps overlap with I/O.
 from __future__ import annotations
 
 import os
-import queue
-import threading
 from typing import Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -145,23 +143,6 @@ def salicon_batches(
         if not (drop_last and s + batch_size > len(order))
     ]
 
-    q: "queue.Queue" = queue.Queue(maxsize=max(1, prefetch))
-    stop = object()
+    from .loaders import _prefetched
 
-    def producer():
-        try:
-            for idx in batches:
-                q.put(make_batch(idx))
-            q.put(stop)
-        except BaseException as e:  # noqa: BLE001 — re-raised in consumer
-            q.put(e)
-
-    t = threading.Thread(target=producer, daemon=True)
-    t.start()
-    while True:
-        item = q.get()
-        if item is stop:
-            break
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    yield from _prefetched(batches, make_batch, prefetch)

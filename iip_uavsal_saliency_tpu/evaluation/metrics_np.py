@@ -142,6 +142,10 @@ def auc_shuffled_np(s, fpts, oth_map, n_rep: int = 100, step_size: float = 0.1, 
     if n_ind == 0:
         return float("nan")
     n_fix_oth = min(n_fix, n_ind)
+    # draw-then-slice looks wasteful but is the reference's exact RNG
+    # consumption (utils_score.py AUC_shuffled: randint([n_ind, n_rep])
+    # sliced to n_fix_oth) — seeded golden parity requires matching it;
+    # the fast path is the device sweep in metrics_jax, not this one
     r = rng.randint(0, n_ind, (n_ind, n_rep))[:n_fix_oth, :]
     return _sweep_auc(s_fix, s[ind[r]], n_fix, n_fix_oth, step_size)
 

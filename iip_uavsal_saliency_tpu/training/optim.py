@@ -33,6 +33,21 @@ def make_frozen_mask(params, frozen_prefixes: Sequence[str]) -> "jax.tree_util.P
 
     treedef = jax.tree_util.tree_structure(params)
     leaves = [trainable(path) for path, _ in flat]
+    # a prefix matching NOTHING is almost always a naming mistake (e.g. the
+    # flagship's default 'trunk/sfnet' against a zoo model whose params are
+    # top-level 'sfnet'): silently training everything diverges from the
+    # intended recipe, so say so loudly
+    for p in frozen_prefixes:
+        if not any(
+            "/".join(str(getattr(k, "key", k)) for k in path).startswith(p)
+            for path, _ in flat
+        ):
+            import logging
+
+            logging.getLogger("uavsal.train").warning(
+                "freeze prefix %r matches no parameter — nothing frozen by it "
+                "(param roots: %s)", p, sorted(params)[:8],
+            )
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 

@@ -90,7 +90,11 @@ class Config:
 def load_config(path: Optional[str] = None, argv: Optional[Sequence[str]] = None) -> Config:
     """Config from optional JSON file + `--key value` CLI overrides."""
     cfg = Config()
-    if path and os.path.exists(path):
+    if path:
+        if not os.path.exists(path):
+            # silently falling back to defaults here launches a whole run
+            # with the wrong paths/lr/epochs on a typo'd filename
+            raise SystemExit(f"config file not found: {path}")
         with open(path) as f:
             data = json.load(f)
         cfg = dataclasses.replace(cfg, **data)

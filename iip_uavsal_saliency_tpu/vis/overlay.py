@@ -22,6 +22,16 @@ log = get_logger("vis")
 EPS = 2.2204e-16
 
 
+def _vid_ext(dataset: str) -> str:
+    """Source-video extension per dataset (reference: utils_vis.py:118-125)."""
+    d = dataset.upper()
+    if d in ("CITIUS", "UAV2", "UAV2-TE"):
+        return ".avi"
+    if d in ("DHF1K-TE", "DHF1K"):
+        return ".AVI"
+    return ".mp4"
+
+
 def heatmap_overlay(image: np.ndarray, heatmap: np.ndarray) -> np.ndarray:
     """JET-colormap blend (reference: utils_vis.py:34-56). Returns float in
     roughly [0, 1+]; callers re-normalize before writing."""
@@ -40,7 +50,9 @@ def heatmap_overlay(image: np.ndarray, heatmap: np.ndarray) -> np.ndarray:
     if hmap3.dtype == np.uint8:
         map_color = cv2.applyColorMap(hmap3, cv2.COLORMAP_JET)
     else:
-        map_color = cv2.applyColorMap(im2uint8(hmap3 / np.max(hmap3) * 255), cv2.COLORMAP_JET)
+        map_color = cv2.applyColorMap(
+            im2uint8(hmap3 / (np.max(hmap3) + EPS) * 255), cv2.COLORMAP_JET
+        )
 
     img = img / (np.max(img) + EPS)
     hmap3 = hmap3 / (np.max(hmap3) + EPS)
@@ -73,7 +85,7 @@ def visual_img(root_dir: str, sals_dir: str, method_names: Sequence[str], with_f
                 fixmap = loadmat(fixname, "I")
                 dil = cv2.dilate(fixmap, np.ones((5, 5), np.uint8))
                 overmap[np.repeat(dil[..., None], 3, 2) > 0.5] = 1
-            overmap = overmap / np.max(overmap) * 255
+            overmap = overmap / (np.max(overmap) + EPS) * 255
             cv2.imwrite(outname, im2uint8(overmap))
 
 
@@ -93,12 +105,7 @@ def visual_vid(
     vids_dir = os.path.join(root_dir, "Videos")
     fixs_dir = os.path.join(root_dir, "fixations", "maps")
     sals_dir = os.path.join(sal_dir, "Saliency")
-
-    vid_ext = ".mp4"
-    if dataset.upper() in ("CITIUS", "UAV2", "UAV2-TE"):
-        vid_ext = ".avi"
-    elif dataset.upper() in ("DHF1K-TE", "DHF1K"):
-        vid_ext = ".AVI"
+    vid_ext = _vid_ext(dataset)
 
     for method in method_names:
         if method.lower() == "gt":
@@ -166,7 +173,7 @@ def visual_vid(
                     dil = cv2.dilate(pts, np.ones((5, 5), np.uint8))
                     overmap[np.repeat(dil[..., None], 3, 2) > 0.5] = 1
 
-                overmap = overmap / np.max(overmap) * 255
+                overmap = overmap / (np.max(overmap) + EPS) * 255
                 writer.write(im2uint8(overmap))
 
             cap.release()
@@ -187,8 +194,9 @@ def visual_vid_frames(
     import cv2
 
     vids_dir = os.path.join(root_dir, "Videos")
+    fixs_dir = os.path.join(root_dir, "fixations", "maps")
     sals_dir = os.path.join(sal_dir, "Saliency")
-    vid_ext = ".avi" if dataset.upper() in ("CITIUS", "UAV2", "UAV2-TE") else ".mp4"
+    vid_ext = _vid_ext(dataset)
 
     for method in method_names:
         salmap_dir = os.path.join(sals_dir, method)
@@ -197,6 +205,10 @@ def visual_vid_frames(
         for name in sorted(f for f in os.listdir(salmap_dir) if f.endswith(".mat")):
             file_name = name[:-4]
             salmap = np.rint(loadmat(os.path.join(salmap_dir, name), "salmap")).astype(np.uint8)
+            fixname = os.path.join(fixs_dir, file_name + "_fixPts.mat")
+            fixpts = None
+            if with_fix and os.path.exists(fixname):
+                fixpts = loadmat(fixname, "fixLoc")
             cap = cv2.VideoCapture(os.path.join(vids_dir, file_name + vid_ext))
             for fi in frame_indices:
                 if fi >= salmap.shape[3]:
@@ -208,7 +220,13 @@ def visual_vid_frames(
                 overmap = heatmap_overlay(img, salmap[:, :, 0, fi]) if with_color else (
                     np.repeat(salmap[:, :, 0, fi][..., None], 3, 2) / 255
                 )
-                overmap = overmap / np.max(overmap) * 255
+                if fixpts is not None and fi < fixpts.shape[3]:
+                    pts = fixpts[:, :, 0, fi]
+                    if pts.shape != overmap.shape[:2]:
+                        pts = resize_fixation(pts, overmap.shape[0], overmap.shape[1])
+                    dil = cv2.dilate(pts, np.ones((5, 5), np.uint8))
+                    overmap[np.repeat(dil[..., None], 3, 2) > 0.5] = 1
+                overmap = overmap / (np.max(overmap) + EPS) * 255
                 cv2.imwrite(
                     os.path.join(out_path, f"{file_name}_f{fi:05d}.png"), im2uint8(overmap)
                 )

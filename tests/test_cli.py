@@ -67,3 +67,30 @@ def test_config_remat_flag():
     from iip_uavsal_saliency_tpu.training.trainer import TrainConfig
 
     assert TrainConfig(remat=True).remat is True
+
+
+def test_load_config_missing_file_errors():
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="config file not found"):
+        load_config("/nonexistent/cfg.json", [])
+
+
+def test_frozen_mask_warns_on_unmatched_prefix(caplog):
+    import logging
+
+    import numpy as np
+
+    from iip_uavsal_saliency_tpu.training.optim import make_frozen_mask
+
+    params = {"sfnet": {"w": np.zeros(2)}, "head": {"w": np.zeros(2)}}
+    with caplog.at_level(logging.WARNING, logger="uavsal.train"):
+        mask = make_frozen_mask(params, ("trunk/sfnet",))
+    assert "matches no parameter" in caplog.text
+    assert mask == {"sfnet": {"w": True}, "head": {"w": True}}
+
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="uavsal.train"):
+        mask = make_frozen_mask(params, ("sfnet",))
+    assert "matches no parameter" not in caplog.text
+    assert mask == {"sfnet": {"w": False}, "head": {"w": True}}

@@ -528,3 +528,37 @@ def test_infer_ragged_final_group(trained, video_dataset, tmp_path_factory):
         sal = loadmat(os.path.join(out_path, "Rag", f), "salmap")
         assert sal.shape == (NATIVE_H, NATIVE_W, 1, NFRAMES)
         assert sal.max() == 255
+
+
+def test_infer_zoo_checkpoint(video_dataset, tmp_path_factory):
+    """`test` must serve zoo-variant checkpoints: load_model_for_inference
+    builds the named MODEL_ZOO class behind the stateful adapter (it used to
+    hardcode UAVSal, crashing on a zoo param tree)."""
+    from iip_uavsal_saliency_tpu.models import build_adapted_model, init_variables
+    from iip_uavsal_saliency_tpu.runners.infer import load_model_for_inference
+    from iip_uavsal_saliency_tpu.training.checkpoint import save_checkpoint
+
+    h, w = IOSIZE[0], IOSIZE[1]
+    model = build_adapted_model("uavsal_mp", time_dims=TIME_DIMS, num_stblock=1,
+                                bias_type=(1, 0, 1))
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(1, TIME_DIMS, h, w, 3).astype(np.float32))
+    g = jnp.asarray(rng.rand(h // 8, w // 8, 8).astype(np.float32))
+    st = model.init_state(h, w, 1)
+    variables = init_variables(model, jax.random.PRNGKey(0), x, g, None, st)
+    ckpt = str(tmp_path_factory.mktemp("zoo_ck") / "zoo_final.ckpt")
+    save_checkpoint(ckpt, {"params": variables["params"],
+                           "batch_stats": variables.get("batch_stats", {})})
+
+    loaded, lvars = load_model_for_inference(
+        ckpt, time_dims=TIME_DIMS, num_stblock=1, bias_type=(1, 0, 1),
+        model_name="uavsal_mp",
+    )
+    out_path = str(tmp_path_factory.mktemp("zoo_out"))
+    run_test_videos(
+        video_dataset + "/Videos", out_path, loaded, lvars,
+        iosize=IOSIZE, batch_size=1, time_dims=TIME_DIMS, bias_type=(1, 0, 1),
+        method_name="ZooMP",
+    )
+    sal = loadmat(os.path.join(out_path, "ZooMP", "vid_a.mat"), "salmap")
+    assert sal.shape == (NATIVE_H, NATIVE_W, 1, NFRAMES)
