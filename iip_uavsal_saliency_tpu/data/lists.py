@@ -16,19 +16,27 @@ VIDEO_EXTS = (".mp4", ".avi", ".AVI")
 
 
 def shuffle_data_dir(
-    data_path: str, ratio: float = 0.8, shuffle: bool = True, save_txt: bool = True
+    data_path: str, ratio: float = 0.8, shuffle: bool = True, save_txt: bool = True,
+    txt_subdir: str = "",
 ) -> Tuple[List[str], List[str]]:
     """80/20 split of `<data_path>/videos/` into train/val lists
-    (reference: utils_data.py:98-124)."""
+    (reference: utils_data.py:98-124).
+
+    NOTE (reference quirk kept): like the reference, this scans lowercase
+    `videos/` and writes the txt files to the DATASET ROOT, while
+    read_video_list reads `<root>/txt/` and `Videos/` — pass
+    txt_subdir="txt" to write where read_video_list looks."""
     vid_dir = os.path.join(data_path, "videos")
-    images = [f for f in os.listdir(vid_dir) if f.endswith((".mp4", ".avi"))]
+    images = [f for f in os.listdir(vid_dir) if f.endswith(VIDEO_EXTS)]
     if shuffle:
         random.shuffle(images)
     n = int(len(images) * ratio)
     train_images, val_images = sorted(images[:n]), sorted(images[n:])
     if save_txt:
+        out_dir = os.path.join(data_path, txt_subdir) if txt_subdir else data_path
+        os.makedirs(out_dir, exist_ok=True)
         for name, lst in (("train", train_images), ("val", val_images)):
-            with open(os.path.join(data_path, name + ".txt"), "w") as f:
+            with open(os.path.join(out_dir, name + ".txt"), "w") as f:
                 f.writelines(str(line) + "\n" for line in lst)
     return train_images, val_images
 
@@ -60,10 +68,12 @@ def read_video_list(
         raise NotImplementedError(phase_gen)
     txt_path = os.path.join(datapath, "txt", phase_gen + ".txt")
     with open(txt_path) as f:
-        lines = sorted(f.readlines())
+        # strip whitespace/CRLF and drop blank lines: a Windows-edited or
+        # trailing-newline txt otherwise yields names like 'vid01\r' or ''
+        lines = sorted(line.strip() for line in f if line.strip())
     if shuffle:
         random.shuffle(lines)
-    names = [line.strip("\n") for line in lines]
+    names = lines
     videos = [os.path.join(datapath, "Videos", n + ext) for n in names]
     vidmaps = [os.path.join(datapath, "maps", n + "_fixMaps.mat") for n in names]
     vidfixs = [os.path.join(datapath, "fixations", "maps", n + "_fixPts.mat") for n in names]
@@ -85,7 +95,7 @@ def get_video_list(
     # ground truth. Sorted name order aligns because GT files share the
     # video's basename (+ fixed suffixes).
     videos = sorted(
-        os.path.join(vid_dir, f) for f in os.listdir(vid_dir) if f.endswith((".avi", ".mp4"))
+        os.path.join(vid_dir, f) for f in os.listdir(vid_dir) if f.endswith(VIDEO_EXTS)
     )
     vidmaps = sorted(
         os.path.join(map_dir, f) for f in os.listdir(map_dir) if f.endswith(".mat")

@@ -59,6 +59,13 @@ def make_mesh(
             f"mesh {n_data}x{n_spatial}x{n_seq}x{n_model} needs {n} devices, "
             f"have {len(devices)}"
         )
+    if n < len(devices):
+        import logging
+
+        logging.getLogger("uavsal.mesh").warning(
+            "mesh %dx%dx%dx%d uses %d of %d devices — %d sit idle",
+            n_data, n_spatial, n_seq, n_model, n, len(devices), len(devices) - n,
+        )
     dev_array = np.array(devices[:n]).reshape(n_data, n_spatial, n_seq, n_model)
     return Mesh(dev_array, axis_names=("data", "spatial", "seq", "model"))
 

@@ -27,6 +27,19 @@ from ..training.losses import loss_fu
 from .mesh import data_sharding, replicated
 
 
+def _maybe_normalize(x):
+    """uint8 frames -> on-chip /255 + ImageNet standardize (fused into the
+    stem conv's epilogue by XLA). Lets callers ship 4x fewer bytes; f32
+    inputs are assumed pre-normalized and pass through (dtype is static
+    under jit, so this costs nothing)."""
+    if x.dtype == jnp.uint8:
+        from ..data.letterbox import IMAGENET_MEAN, IMAGENET_STD
+
+        x = x.astype(jnp.float32) / 255.0
+        x = (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+    return x
+
+
 def _state_sharding(model, mesh):
     """Rank-aware sharding for the carried recurrent state: image rows over
     'spatial'. UAVSal carries (V, H, W, C); UAVSalLSTM carries (V, 2, H, W, C)
@@ -117,7 +130,8 @@ def make_train_step(
 
     step(state, x, gauss, ob, rnn_state, y_true) ->
         (new_state, loss, new_rnn_state)
-      x: (V, S, H, W, 3); y_true: (V, S, Ho, Wo, 2); rnn_state: (V, Ho, Wo, C).
+      x: (V, S, H, W, 3) uint8 (normalized on-chip) or pre-normalized f32;
+      y_true: (V, S, Ho, Wo, 2); rnn_state: (V, Ho, Wo, C).
 
     With a mesh, inputs shard V on 'data', frames on 'seq', image rows on
     'spatial' (axes of size 1 are free). `state_shardings` (see
@@ -188,6 +202,8 @@ def make_train_step(
     forward = jax.checkpoint(_forward) if remat else _forward
 
     def step(state: TrainState, x, gauss, ob, rnn_state, y_true):
+        x = _maybe_normalize(x)
+
         def compute_loss(params):
             bs_cast = cast(state.batch_stats)
             (out, new_rnn), mutated = forward(
@@ -240,6 +256,7 @@ def make_eval_step(model, loss_fn: Callable = loss_fu, mesh=None,
     model = _partitionable_model(model, mesh)
 
     def step(params, batch_stats, x, gauss, ob, rnn_state, y_true):
+        x = _maybe_normalize(x)
         out, new_rnn = model.apply(
             {"params": params, "batch_stats": batch_stats}, x, gauss, ob, rnn_state
         )

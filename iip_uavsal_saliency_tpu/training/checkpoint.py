@@ -47,7 +47,7 @@ def latest_checkpoint(model_dir: str, prefix: str) -> Optional[str]:
     """Most recent `<prefix>_<epoch>_<loss>.ckpt` for mid-training resume."""
     if not os.path.isdir(model_dir):
         return None
-    pat = re.compile(re.escape(prefix) + r"_(\d+)_([-\d.]+)\.ckpt$")
+    pat = re.compile(re.escape(prefix) + r"_(\d+)_(-?(?:[\d.]+|inf|nan))\.ckpt$")
     best = None
     for f in os.listdir(model_dir):
         m = pat.match(f)

@@ -38,7 +38,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..data.letterbox import normalize_frames
 from ..data.lists import read_video_list
 from ..data.priors import get_gauss_priors, get_ob_priors
 from ..data.video import (preprocess_videos, preprocess_vidfixs,
@@ -125,6 +124,16 @@ class Trainer:
         self.dataset = dataset
         self.ext = ext
         self.mesh = mesh
+        if mesh is not None:
+            n_data = dict(mesh.shape).get("data", 1)
+            if config.videos_per_step % max(n_data, 1):
+                # fail here with a clear message instead of a cryptic
+                # "dimension 0 not divisible" deep inside jit dispatch
+                raise ValueError(
+                    f"videos_per_step={config.videos_per_step} must be a "
+                    f"multiple of the mesh 'data' axis ({n_data}) so the "
+                    "video batch shards evenly"
+                )
 
         self.model_dir = os.path.join(save_model_dir, config.method_name)
         os.makedirs(self.model_dir, exist_ok=True)
@@ -308,7 +317,9 @@ class Trainer:
             rnn_state = self.model.init_state(shape_r, shape_c, 1)
             video_loss, n_clips = 0.0, 0
             for x, y in clips:
-                x = jnp.asarray(normalize_frames(x))[None]  # (1, S, H, W, 3)
+                # uint8 to the device (4x less transfer); the step
+                # normalizes on-chip (parallel/steps._maybe_normalize)
+                x = jnp.asarray(x)[None]  # (1, S, H, W, 3) uint8
                 y = jnp.asarray(y)[None]
                 loss, rnn_state = self._step(phase, x, y, rnn_state)
                 video_loss += loss
@@ -319,7 +330,14 @@ class Trainer:
                     self.metrics.scalar("train/loss", loss, int(self.state.step))
             if n_clips:
                 log.info("  mean %s loss: %.4f", phase, video_loss / n_clips)
-        return run_loss / max(num_step, 1)
+        if not num_step:
+            # 0.0 would win the early-stop comparison and freeze best
+            # weights at this (untrained) epoch; inf marks "no signal"
+            # (image_trainer does the same)
+            log.warning("%s epoch ran ZERO steps (empty split or all "
+                        "clips skipped for empty GT)", phase)
+            return float("inf")
+        return run_loss / num_step
 
     def _run_epoch_multivideo(self, phase, videos, vidmaps, vidfixs, max_frames) -> float:
         """Data-parallel epoch: groups of `videos_per_step` videos advance in
@@ -376,7 +394,7 @@ class Trainer:
                     else:  # exhausted/empty video: repeat a clip, mask zeroed
                         x, y = (clips or donor)[-1]
                         y = np.concatenate([y[..., :2], np.zeros_like(y[..., 2:])], -1)
-                    xs.append(normalize_frames(x))
+                    xs.append(x)  # uint8: normalized on-chip by the step
                     ys.append(y)
                 x = jnp.asarray(np.stack(xs))
                 y = jnp.asarray(np.stack(ys))
@@ -385,15 +403,26 @@ class Trainer:
                 num_step += 1
                 if phase == "train":
                     self.metrics.scalar("train/loss", loss, int(self.state.step))
-        return run_loss / max(num_step, 1)
+        if not num_step:
+            log.warning("%s epoch ran ZERO steps (empty split or all "
+                        "clips skipped for empty GT)", phase)
+            return float("inf")
+        return run_loss / num_step
 
     def train(self) -> TrainState:
+        try:
+            return self._train()
+        finally:
+            self.metrics.close()  # flush the TB mirror / JSONL handle
+
+    def _train(self) -> TrainState:
         cfg = self.cfg
         min_val_loss = float("inf")
         num_patience = 0
         max_patience = cfg.max_patience if cfg.is_early_stop else cfg.epochs + 1
 
         start_epoch = 0
+        best_ckpt = f"{self.prefix}_best.ckpt"
         if cfg.resume:
             latest = latest_checkpoint(self.model_dir, cfg.method_name)
             if latest:
@@ -410,10 +439,26 @@ class Trainer:
                     step=jnp.asarray(ckpt["step"], jnp.int32),
                 )
                 start_epoch = int(ckpt["epoch"]) + 1
-                log.info("resumed from %s (epoch %d)", latest, start_epoch)
+                # early-stop bookkeeping: without it a resumed run forgets
+                # the pre-crash best (worse _final weights) and re-arms the
+                # patience counter (late early stop)
+                min_val_loss = float(ckpt.get("min_val_loss", float("inf")))
+                num_patience = int(ckpt.get("num_patience", 0))
+                log.info(
+                    "resumed from %s (epoch %d, best val %.4f, patience %d)",
+                    latest, start_epoch, min_val_loss, num_patience,
+                )
 
         best_params = self.state.params
         best_stats = self.state.batch_stats
+        if cfg.resume and start_epoch and os.path.exists(best_ckpt):
+            import flax.serialization
+
+            best = load_checkpoint(best_ckpt)
+            best_params = flax.serialization.from_state_dict(
+                self.state.params, best["params"])
+            best_stats = flax.serialization.from_state_dict(
+                self.state.batch_stats, best["batch_stats"])
 
         for epoch in range(start_epoch, cfg.epochs):
             t0 = time.time()
@@ -432,6 +477,8 @@ class Trainer:
                         "opt_state": self.state.opt_state,
                         "step": self.state.step,
                         "epoch": epoch,
+                        "min_val_loss": min(mean_loss, min_val_loss),
+                        "num_patience": 0 if mean_loss < min_val_loss else num_patience + 1,
                     },
                 )
             if mean_loss < min_val_loss:
@@ -439,6 +486,11 @@ class Trainer:
                 num_patience = 0
                 best_params = jax.tree_util.tree_map(lambda x: x, self.state.params)
                 best_stats = jax.tree_util.tree_map(lambda x: x, self.state.batch_stats)
+                if not cfg.is_best_only:  # make resume best-weights-exact
+                    save_checkpoint(
+                        best_ckpt,
+                        {"params": best_params, "batch_stats": best_stats},
+                    )
             else:
                 num_patience += 1
                 if num_patience >= max_patience:

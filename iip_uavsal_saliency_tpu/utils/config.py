@@ -128,6 +128,8 @@ def load_config(path: Optional[str] = None, argv: Optional[Sequence[str]] = None
                 updates[key] = val
                 i += 2
             else:
-                i += 1
+                # silently skipping would launch a run with defaults on a
+                # typo like '-resume true' (missing dash) — fail instead
+                raise SystemExit(f"unexpected argument {arg!r} (flags are --key value)")
         cfg = dataclasses.replace(cfg, **updates)
     return cfg

@@ -562,3 +562,37 @@ def test_infer_zoo_checkpoint(video_dataset, tmp_path_factory):
     )
     sal = loadmat(os.path.join(out_path, "ZooMP", "vid_a.mat"), "salmap")
     assert sal.shape == (NATIVE_H, NATIVE_W, 1, NFRAMES)
+
+
+def test_epoch_checkpoint_carries_earlystop_bookkeeping(trained):
+    """Epoch checkpoints persist min_val_loss/num_patience and a _best.ckpt
+    snapshot, so --resume keeps the pre-crash best weights and patience
+    instead of silently re-arming early stop."""
+    trainer, state, final = trained
+    prefix = os.path.join(os.path.dirname(final), "TinyUAVSal")
+    from iip_uavsal_saliency_tpu.training.checkpoint import (
+        latest_checkpoint, load_checkpoint,
+    )
+
+    latest = latest_checkpoint(os.path.dirname(final), "TinyUAVSal")
+    ckpt = load_checkpoint(latest)
+    assert np.isfinite(float(ckpt["min_val_loss"]))
+    assert int(ckpt["num_patience"]) == 0  # epoch 0 is always the best so far
+    best = load_checkpoint(prefix + "_best.ckpt")
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        best["params"],
+        jax.tree_util.tree_map(np.asarray,
+                               jax.device_get(
+                                   __import__("flax").serialization.to_state_dict(
+                                       state.params))),
+    )
+
+
+def test_zero_step_epoch_reports_inf(trained, monkeypatch):
+    """An epoch where every clip is skipped (empty GT) must report inf, not
+    0.0 — 0.0 would win the early-stop comparison and freeze best weights
+    at an untrained epoch."""
+    trainer, _, _ = trained
+    monkeypatch.setattr(trainer, "_video_clips", lambda *a, **k: [])
+    assert trainer._run_epoch("val") == float("inf")
