@@ -496,3 +496,19 @@ def test_infer_step_dp_shard_map_lstm_state_rank():
     assert out.shape == (2, 2, h // 8, w // 8, 1)
     assert new_st.shape == st.shape
     assert bool(jnp.isfinite(out).all())
+
+
+def test_make_mesh_warns_on_idle_devices(caplog):
+    """A mesh that cannot use every device must say so (silent truncation
+    reads as full utilization)."""
+    import logging
+
+    with caplog.at_level(logging.WARNING, logger="uavsal.mesh"):
+        mesh = make_mesh(n_data=2, n_seq=3)  # 6 of 8 devices
+    assert mesh.size == 6
+    assert "2 sit idle" in caplog.text
+
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="uavsal.mesh"):
+        make_mesh(n_data=2, n_seq=2, n_model=2)  # exactly 8
+    assert "sit idle" not in caplog.text
