@@ -596,3 +596,31 @@ def test_zero_step_epoch_reports_inf(trained, monkeypatch):
     trainer, _, _ = trained
     monkeypatch.setattr(trainer, "_video_clips", lambda *a, **k: [])
     assert trainer._run_epoch("val") == float("inf")
+
+
+def test_visual_vid_frames_with_fix(video_dataset, tmp_path_factory):
+    """The frame exporter honors with_fix: fixation dots burn to white
+    (parity with the reference Tools/visualization_vid_frame.py; the
+    parameter used to be silently ignored)."""
+    import cv2
+
+    from iip_uavsal_saliency_tpu.vis.overlay import visual_vid_frames
+
+    res = str(tmp_path_factory.mktemp("vfres"))
+    m_dir = os.path.join(res, "Saliency", "M")
+    os.makedirs(m_dir)
+    rng = np.random.RandomState(5)
+    salmap = rng.randint(0, 255, (NATIVE_H, NATIVE_W, 1, NFRAMES), np.uint8)
+    savemat(os.path.join(m_dir, "vid_a.mat"), {"salmap": salmap})
+
+    visual_vid_frames(video_dataset, res, "UAV2", ["M"],
+                      frame_indices=(0, 2), with_color=1, with_fix=1)
+    out0 = os.path.join(m_dir, "Visual_frames", "vid_a_f00000.png")
+    assert os.path.exists(out0)
+    png = cv2.imread(out0)
+    fixpts = loadmat(
+        os.path.join(video_dataset, "fixations", "maps", "vid_a_fixPts.mat"),
+        "fixLoc",
+    )
+    yy, xx = [int(v[0]) for v in np.nonzero(fixpts[:, :, 0, 0])]
+    assert (png[yy, xx] == 255).all(), "fixation dot not burned to white"
