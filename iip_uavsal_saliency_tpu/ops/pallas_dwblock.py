@@ -258,8 +258,10 @@ def supports_fused_dwblock(x_shape, dtype, kernel_size: int, stride: int,
         return False
     # narrow outputs (e.g. the 1-channel head) have only been validated in
     # interpreter mode; Mosaic lane tiling of the (E, features) w2 block
-    # needs a full 128-lane output tile on real TPU
-    if features % 128 != 0:
+    # needs a full 128-lane output tile on real TPU. Residual blocks are
+    # exempt: co == c there and fused_dwblock_pallas pads both to the full
+    # 128-lane tile (the co_trim path), so the stored w2 block is aligned.
+    if features % 128 != 0 and not residual:
         return False
     pw = _round_up(w + 2, 8)
     itemsize = 2

@@ -30,8 +30,11 @@ every step. This kernel keeps h resident in VMEM for the entire scan:
   h_last output is needed).
 
 The kernel is used for inference/serving; for training, `twa_scan` wraps it
-in a custom_vjp whose backward recomputes through the XLA scan (exact same
-math at f32; the kernel itself accumulates in f32 and stores bf16).
+in a custom_vjp whose backward recomputes through the XLA scan in the INPUT
+dtype (bf16 on every kernel-eligible path). The kernel's forward accumulates
+in f32 before storing bf16, so the recomputed forward matches it to bf16
+rounding, not bit-exactly — gradient parity is bounded by the tests, not by
+an exactness guarantee.
 """
 
 from __future__ import annotations
@@ -92,7 +95,7 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _twa_kernel(x_ref, gx_ref, w_ref, h0_ref, ys_ref, h_pp, sem, *, rb, H, W, C, PW):
+def _twa_kernel(x_ref, gx_ref, w_ref, h0_ref, ys_ref, h_pp, sem, *, rb, W, C, PW):
     s = pl.program_id(1)
     k = pl.program_id(2)
     cur = s % 2
@@ -156,6 +159,12 @@ def twa_scan_pallas(x: jnp.ndarray, gx: jnp.ndarray, w_h: jnp.ndarray,
     if interpret is None:
         interpret = INTERPRET
 
+    # normalize dtypes at the kernel boundary: a caller passing the model's
+    # default f32 init_state (or f32 master weights) alongside bf16 streams
+    # would otherwise fail the init DMA with a Mosaic dtype error
+    h0 = h0.astype(x.dtype)
+    w_h = w_h.astype(x.dtype)
+
     # Halo-padded h0 (zero borders ARE the conv zero-padding); done on the
     # host so the kernel's init DMA is a full aligned slice. The padded width
     # rounds up to the 8-sublane tile (DMA slice shapes must be tile-aligned).
@@ -166,7 +175,7 @@ def twa_scan_pallas(x: jnp.ndarray, gx: jnp.ndarray, w_h: jnp.ndarray,
     # stacked dy-major on input channels (matches the kernel's tap concat)
     w_h = jnp.swapaxes(w_h, 0, 1).reshape(3, 3 * c, c)
 
-    kernel = functools.partial(_twa_kernel, rb=rb, H=h, W=w, C=c, PW=pw)
+    kernel = functools.partial(_twa_kernel, rb=rb, W=w, C=c, PW=pw)
     ys = pl.pallas_call(
         kernel,
         grid=(v, s, n_chunks),
@@ -200,20 +209,27 @@ def twa_scan_pallas(x: jnp.ndarray, gx: jnp.ndarray, w_h: jnp.ndarray,
 
 
 def supports_pallas(x_shape, dtype) -> bool:
-    """Kernel applicability: TPU-friendly dtype, divisible rows, VMEM fit."""
+    """Kernel applicability: TPU-friendly dtype, lane-aligned channels,
+    divisible rows, VMEM fit. Anything rejected falls back to the
+    partitionable XLA scan (never a compile error)."""
     v, s, h, w, c = x_shape
     if jnp.dtype(dtype) != jnp.dtype(jnp.bfloat16):
         return False
-    if _row_block(h) is None:
+    rb = _row_block(h)
+    if rb is None:
+        return False
+    # the dy-tap concat and the (rb*W, 3C) im2col reshape index the lane
+    # (channel) axis: C must be a full 128-lane multiple or Mosaic rejects
+    # the tile boundaries at compile time
+    if c % 128 != 0:
         return False
     # ping-pong state + streamed blocks must fit ~16MB VMEM. Budget with
-    # the ALLOCATED padded width (lane-dim rounds up to 8 sublanes), not
-    # the logical w+2 — narrow inputs otherwise pass the gate and then
-    # fail Mosaic compilation instead of falling back to the XLA scan
-    pw = -(-(w + 2) // 8) * 8
+    # the ALLOCATED padded width (sublane rounds up to 8), not the logical
+    # w+2 — narrow inputs otherwise pass the gate and then fail Mosaic
+    # compilation instead of falling back to the XLA scan
+    pw = _round_up(w + 2, 8)
     state_bytes = 2 * (h + 2) * pw * c * 2
     kern_bytes = 9 * c * c * 2
-    rb = _row_block(h)
     block_bytes = 6 * rb * w * c * 2  # x/gx/ys double-buffered
     return state_bytes + kern_bytes + block_bytes < 12 * 1024 * 1024
 

@@ -159,3 +159,15 @@ def test_dwblock_module_fused_path_matches_unfused():
     # and with the gate off on CPU (INTERPRET False), auto falls back cleanly
     plain_again = np.asarray(block_fused.apply(vs, x, False))
     np.testing.assert_allclose(plain_again, want, rtol=1e-6, atol=1e-6)
+
+
+def test_supports_fused_dwblock_residual_exemption():
+    """Unaligned output channels reject the kernel UNLESS the block is
+    residual (co == c is padded to the full 128-lane tile inside the
+    kernel, the co_trim path)."""
+    from iip_uavsal_saliency_tpu.ops.pallas_dwblock import supports_fused_dwblock
+
+    shape = (4, 32, 32, 192)
+    assert not supports_fused_dwblock(shape, jnp.bfloat16, 3, 1, 1, 6, 192)
+    assert supports_fused_dwblock(shape, jnp.bfloat16, 3, 1, 1, 6, 192,
+                                  residual=True)

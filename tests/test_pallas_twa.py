@@ -140,3 +140,32 @@ def test_conv_twa_auto_selects_pallas_when_supported(monkeypatch):
     assert not calls, "use_pallas=False must force the XLA scan"
     run(20, True)
     assert calls, "use_pallas=True forces the kernel when supported"
+
+
+def test_supports_pallas_gates_unaligned_channels():
+    """C must be a full 128-lane multiple (the dy-tap concat and im2col
+    reshape index the lane axis); unaligned C falls back to the XLA scan
+    instead of failing Mosaic compilation."""
+    from iip_uavsal_saliency_tpu.ops.pallas_twa import supports_pallas
+
+    assert supports_pallas((1, 5, 40, 80, 256), jnp.bfloat16)
+    assert not supports_pallas((1, 5, 40, 80, 192), jnp.bfloat16)
+    assert not supports_pallas((1, 5, 40, 80, 256), jnp.float32)
+
+
+def test_twa_pallas_casts_state_dtype():
+    """A default f32 init_state alongside bf16 streams must not crash the
+    kernel's init DMA: twa_scan_pallas normalizes dtypes at the boundary."""
+    from iip_uavsal_saliency_tpu.ops import pallas_twa as ptwa
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(1, 2, 8, 8, 128).astype(np.float32)).astype(jnp.bfloat16)
+    gx = jnp.asarray(rng.rand(1, 2, 8, 8, 128).astype(np.float32)).astype(jnp.bfloat16)
+    w_h = jnp.asarray(rng.rand(3, 3, 128, 128).astype(np.float32))  # f32
+    h0 = jnp.zeros((1, 8, 8, 128), jnp.float32)                     # f32
+    ys, h_last = ptwa.twa_scan_pallas(x, gx, w_h, h0, interpret=True)
+    assert ys.dtype == jnp.bfloat16 and h_last.dtype == jnp.bfloat16
+    want, want_last = ptwa.twa_scan_xla(x, gx, w_h.astype(jnp.bfloat16), h0.astype(jnp.bfloat16))
+    np.testing.assert_allclose(
+        np.asarray(ys, np.float32), np.asarray(want, np.float32), atol=0.02
+    )
