@@ -252,17 +252,18 @@ def _score_video(salmap, fixmap, fixpts, all_fix_pts, keys_order, batch_size, rn
         return np.full((1, len(keys_order)), np.nan)
     scores = np.zeros((nframes, len(keys_order)))
 
-    # salmap -> GT resolution if needed (reference: utils_score_torch.py:529-536)
-    # Every metric is scale-invariant (sum-/std-normalized or rank-based),
-    # so uint8 inputs ship to the device as uint8 (4x less transfer) and
-    # convert to f32 on-chip; only the resize path needs host f32.
+    # salmap -> GT resolution if needed (reference: utils_score_torch.py:529-536).
+    # Resize in the INPUT dtype: the reference resizes the uint8 frames, so
+    # cv2 rounds the interpolated values back to uint8 — resizing in float
+    # keeps ~0.001 more NSS/CC precision but diverges from every score the
+    # reference pipeline ever published (pinned by the eval-driver golden
+    # test). Every metric is scale-invariant (sum-/std-normalized or
+    # rank-based), so uint8 inputs ship to the device as uint8 (4x less
+    # transfer) and convert to f32 on-chip.
     if salmap.shape[:2] != fixmap.shape[:2]:
         sal = np.stack(
             [
-                cv2.resize(
-                    salmap[:, :, 0, i].astype(np.float32),
-                    (fixmap.shape[1], fixmap.shape[0]),
-                )
+                cv2.resize(salmap[:, :, 0, i], (fixmap.shape[1], fixmap.shape[0]))
                 for i in range(nframes)
             ]
         )

@@ -22,6 +22,16 @@ log = get_logger("vis")
 EPS = 2.2204e-16
 
 
+def _rescale255(img: np.ndarray) -> np.ndarray:
+    """`img / max(img) * 255` with the reference's EXACT arithmetic
+    (reference: utils_vis.py:100,208 — bare max, no epsilon: an epsilon in
+    the divisor nudges values that land exactly on an x.5 rounding boundary
+    down a uint8 level). All-zero frames (0/0 -> NaN in the reference) are
+    returned unchanged instead."""
+    m = np.max(img)
+    return img / m * 255 if m > 0 else img
+
+
 def _vid_ext(dataset: str) -> str:
     """Source-video extension per dataset (reference: utils_vis.py:118-125)."""
     d = dataset.upper()
@@ -51,7 +61,7 @@ def heatmap_overlay(image: np.ndarray, heatmap: np.ndarray) -> np.ndarray:
         map_color = cv2.applyColorMap(hmap3, cv2.COLORMAP_JET)
     else:
         map_color = cv2.applyColorMap(
-            im2uint8(hmap3 / (np.max(hmap3) + EPS) * 255), cv2.COLORMAP_JET
+            im2uint8(_rescale255(hmap3)), cv2.COLORMAP_JET  # bare max: utils_vis.py:48
         )
 
     img = img / (np.max(img) + EPS)
@@ -85,7 +95,7 @@ def visual_img(root_dir: str, sals_dir: str, method_names: Sequence[str], with_f
                 fixmap = loadmat(fixname, "I")
                 dil = cv2.dilate(fixmap, np.ones((5, 5), np.uint8))
                 overmap[np.repeat(dil[..., None], 3, 2) > 0.5] = 1
-            overmap = overmap / (np.max(overmap) + EPS) * 255
+            overmap = _rescale255(overmap)
             cv2.imwrite(outname, im2uint8(overmap))
 
 
@@ -173,7 +183,7 @@ def visual_vid(
                     dil = cv2.dilate(pts, np.ones((5, 5), np.uint8))
                     overmap[np.repeat(dil[..., None], 3, 2) > 0.5] = 1
 
-                overmap = overmap / (np.max(overmap) + EPS) * 255
+                overmap = _rescale255(overmap)
                 writer.write(im2uint8(overmap))
 
             cap.release()
@@ -226,7 +236,7 @@ def visual_vid_frames(
                         pts = resize_fixation(pts, overmap.shape[0], overmap.shape[1])
                     dil = cv2.dilate(pts, np.ones((5, 5), np.uint8))
                     overmap[np.repeat(dil[..., None], 3, 2) > 0.5] = 1
-                overmap = overmap / (np.max(overmap) + EPS) * 255
+                overmap = _rescale255(overmap)
                 cv2.imwrite(
                     os.path.join(out_path, f"{file_name}_f{fi:05d}.png"), im2uint8(overmap)
                 )
