@@ -478,7 +478,7 @@ def collect_all_fixations_img(fixs_dir: str):
     fix_names = sorted(f for f in os.listdir(fixs_dir) if f.endswith(".mat"))
     all_pts = []
     for name in fix_names:
-        fixpts = np.asarray(loadmat(os.path.join(fixs_dir, name), "I"))
+        fixpts = np.asarray(loadmat(os.path.join(fixs_dir, name), "I")) > 0.5
         h, w = fixpts.shape[0], fixpts.shape[1]
         fx, fy = np.where(fixpts)
         all_pts.append(
@@ -489,15 +489,16 @@ def collect_all_fixations_img(fixs_dir: str):
 
 def build_shuffle_map_img(fixs_dir: str, size=(480, 640)):
     """Summed fixation map over an image dataset
-    (reference: utils_score.py:250-307)."""
+    (reference: utils_score.py:250-307; points thresholded at 0.5 before
+    summing, and no rounding — the summands are already integral)."""
     fix_names = sorted(f for f in os.listdir(fixs_dir) if f.endswith(".mat"))
     shufmap = np.zeros(size)
     for name in fix_names:
-        fixpts = np.asarray(loadmat(os.path.join(fixs_dir, name), "I"))
+        fixpts = np.asarray(loadmat(os.path.join(fixs_dir, name), "I")) > 0.5
         if fixpts.shape[:2] != tuple(size):
             fixpts = resize_fixation(fixpts, size[0], size[1])
         shufmap += fixpts
-    return np.round(shufmap)
+    return shufmap
 
 
 def _score_image(salmap, fixmap, fixpts, keys_order, shufmap, rng):
@@ -680,7 +681,9 @@ def evalscores_img_sum(
     if "AUC_shuffled" in keys_order:
         cache = os.path.join(data_dir, f"Shuffle_{dataset.upper()}.mat")
         if not os.path.exists(cache):
-            shufmap = build_shuffle_map_img(fixs_dir)
+            shufmap = build_shuffle_map_img(
+                fixs_dir, size=SHUFF_SIZE.get(dataset.upper(), SHUFF_SIZE["default"])
+            )
             savemat(cache, {"ShufMap": shufmap})
         else:
             shufmap = loadmat(cache, "ShufMap")

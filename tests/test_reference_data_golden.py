@@ -671,3 +671,252 @@ def test_end_to_end_inference_matches_reference(ref_data, tmp_path, monkeypatch)
         assert diff.max() <= 1, f"{name}: max uint8 diff {diff.max()}"
         frac = (diff > 0).mean()
         assert frac < 0.01, f"{name}: {frac:.2%} pixels off by one"
+
+
+# --------------------------------------------------------------------------- #
+# Image-dataset drivers (the SALICON SRF-Net pretraining stage): the
+# reference's own numpy eval drivers (utils_score.py:570-682), its shufmap
+# builders (:250-391), and its image visualizer (utils_vis.py:59-101)
+# against ours on identical on-disk trees.
+
+
+@pytest.fixture(scope="module")
+def ref_score(ref_data):
+    """Import the reference's numpy metric suite.
+
+    utils_score imports skimage at module top; offline it gets a stub whose
+    resize raises if reached (these tests keep salmap/GT shapes equal; the
+    drivers' own shufmap resizing goes through their resize_fixation)."""
+    if "skimage" not in sys.modules:
+        sk = types.ModuleType("skimage")
+        tr = types.ModuleType("skimage.transform")
+
+        def _unreachable(*a, **k):
+            raise AssertionError("skimage.transform.resize reached")
+
+        tr.resize = _unreachable
+        sk.transform = tr
+        sys.modules["skimage"] = sk
+        sys.modules["skimage.transform"] = tr
+    import utils_score as ref_np
+
+    return ref_np
+
+
+def _img_tree(tmp_path, names, h, w, seed=70, empty=None):
+    """SALICON-style RootDir: images/<n>.jpg, maps/<n>.png,
+    fixations/maps/<n>.mat ('I' binary points)."""
+    from iip_uavsal_saliency_tpu.data.matio import savemat
+
+    root = tmp_path / "SALSYN"
+    (root / "images").mkdir(parents=True)
+    (root / "maps").mkdir()
+    (root / "fixations" / "maps").mkdir(parents=True)
+    rng = np.random.RandomState(seed)
+    for n in names:
+        cv2.imwrite(str(root / "images" / f"{n}.jpg"),
+                    rng.randint(0, 256, (h, w, 3), dtype=np.uint8))
+        fmap = cv2.GaussianBlur((rng.rand(h, w) * 255).astype(np.uint8), (9, 9), 3)
+        fpts = (rng.rand(h, w) < 0.01).astype(np.uint8)
+        fpts[h // 2, w // 2] = 1
+        if n == empty:
+            fmap[:] = 0
+            fpts[:] = 0
+        cv2.imwrite(str(root / "maps" / f"{n}.png"), fmap)
+        savemat(str(root / "fixations" / "maps" / f"{n}.mat"), {"I": fpts})
+    return root
+
+
+def _img_salmaps(res_dir, names, h, w, method="SRF", seed=71):
+    """ResDir/Saliency/<method>/<n>.png: smooth blobs + noise, uint8."""
+    rng = np.random.RandomState(seed)
+    mdir = res_dir / "Saliency" / method
+    mdir.mkdir(parents=True)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    for i, n in enumerate(names):
+        cx = w * (0.25 + 0.5 * i / max(len(names) - 1, 1))
+        blob = np.exp(-(((xx - cx) / (w / 5)) ** 2 + ((yy - h / 2) / (h / 5)) ** 2))
+        blob = blob + rng.rand(h, w) * 0.1
+        cv2.imwrite(str(mdir / f"{n}.png"),
+                    (blob / blob.max() * 255).astype(np.uint8))
+    return mdir
+
+
+def test_img_fixation_pools_match_reference(ref_score, ref_data, tmp_path, monkeypatch):
+    """The sAUC negative-sample machinery for image datasets, pinned to the
+    reference's own builders: getALLFix_img (utils_score.py:310-330) vs
+    collect_all_fixations_img, getSumFix_img (:250-272, incl. the
+    resize_fixation path to the default 480x640 grid) vs
+    build_shuffle_map_img, and the seeded getshufmap sampler (:366-391) vs
+    sample_shufmap — bit-exact, since both draw the same randint sequence."""
+    from iip_uavsal_saliency_tpu.evaluation.scorer import (
+        build_shuffle_map_img,
+        collect_all_fixations_img,
+        sample_shufmap,
+    )
+
+    monkeypatch.setattr(np, "int", int, raising=False)
+    h, w = 48, 64
+    root = _img_tree(tmp_path, ["i1", "i2", "i3"], h, w)
+    fixs = str(root / "fixations" / "maps")
+
+    pool_ref = ref_score.getALLFix_img(fixs + os.sep, "SALSYN")
+    pool_ours = collect_all_fixations_img(fixs)
+    assert len(pool_ref) == len(pool_ours) == 3
+    for a, b in zip(pool_ref, pool_ours):
+        np.testing.assert_allclose(np.asarray(a, np.float64), b, atol=1e-12)
+
+    # summed map at the dataset-default (480, 640): every image hits the
+    # reference's resize_fixation coordinate remap
+    sum_ref = ref_score.getSumFix_img(fixs + os.sep, "SALSYN")
+    sum_ours = build_shuffle_map_img(fixs)
+    np.testing.assert_array_equal(sum_ours, sum_ref)
+    assert sum_ours.shape == (480, 640) and sum_ours.max() >= 1
+
+    # same-shape branch (no resize)
+    sum_ref2 = ref_score.getSumFix_img(fixs + os.sep, "SALSYN", size=(h, w))
+    sum_ours2 = build_shuffle_map_img(fixs, size=(h, w))
+    np.testing.assert_array_equal(sum_ours2, sum_ref2)
+
+    for seed, size in ((80, (h, w)), (81, (37, 53))):
+        np.random.seed(seed)
+        want = ref_score.getshufmap(pool_ref, size=size)
+        np.random.seed(seed)
+        got = sample_shufmap(pool_ours, size=size, rng=np.random)
+        np.testing.assert_array_equal(got, want, err_msg=f"seed {seed}")
+
+
+def _assert_img_scores_close(got, want, keys_order):
+    np.testing.assert_array_equal(np.isnan(got), np.isnan(want))
+    m = ~np.isnan(want[:, 0])
+    cols = {k: i for i, k in enumerate(keys_order)}
+    # KLD/SIM: identical float64 formulas on both sides. CC/NSS standardize
+    # with ddof=1 on our side vs the numpy suite's ddof=0 (a documented
+    # reference-internal inconsistency; the gap is ~1/n relative). AUC_Judd
+    # differs only by each side's independent 1e-7 tie jitter. The sampled
+    # AUCs additionally sweep different threshold grids (the numpy suite uses
+    # a coarse 0.1 step, utils_score.py:106) — statistical agreement only.
+    np.testing.assert_allclose(got[m, cols["KLD"]], want[m, cols["KLD"]], atol=1e-8)
+    np.testing.assert_allclose(got[m, cols["SIM"]], want[m, cols["SIM"]], atol=1e-8)
+    np.testing.assert_allclose(
+        got[m, cols["CC"]], want[m, cols["CC"]], rtol=2e-3, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        got[m, cols["NSS"]], want[m, cols["NSS"]], rtol=2e-3, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        got[m, cols["AUC_Judd"]], want[m, cols["AUC_Judd"]], atol=0.02
+    )
+    for k in ("AUC_shuffled", "AUC_Borji"):
+        np.testing.assert_allclose(
+            got[m, cols[k]], want[m, cols[k]], atol=0.1, err_msg=k
+        )
+
+
+def test_evalscores_img_matches_reference(ref_score, ref_data, tmp_path, monkeypatch):
+    """Driver-level parity for the per-image-shufmap image evaluator:
+    the reference's evalscores_img (utils_score.py:629-682) vs ours on an
+    identical tree — score-file layout (Scores/Score_<m>.mat, 'scores',
+    rows in sorted-png order), NaN row for the degenerate image, shared
+    ALLFixPts cache, and all 7 metric columns."""
+    import iip_uavsal_saliency_tpu.evaluation.scorer as scorer
+    from iip_uavsal_saliency_tpu.data.matio import loadmat
+    from iip_uavsal_saliency_tpu.evaluation.scorer import evalscores_img
+
+    monkeypatch.setattr(np, "int", int, raising=False)
+    monkeypatch.setattr(np, "NaN", np.nan, raising=False)
+
+    h, w = 48, 64
+    names = ["i1", "i2", "i3"]
+    root = _img_tree(tmp_path, names, h, w, empty="i2")
+    ref_res = tmp_path / "ref_res"
+    our_res = tmp_path / "our_res"
+    for d in (ref_res, our_res):
+        _img_salmaps(d, names, h, w)
+
+    # pre-seed the shared sAUC pool cache (the reference's inline np.save of
+    # a ragged list needs dtype=object under numpy 2)
+    pool = ref_score.getALLFix_img(str(root / "fixations" / "maps") + os.sep, "SALSYN")
+    np.save(str(root / "ALLFixPts_SALSYN.npy"),
+            np.array(pool, dtype=object), allow_pickle=True)
+
+    np.random.seed(90)
+    ref_score.evalscores_img(str(root) + os.sep, str(ref_res) + os.sep,
+                             "SALSYN", ["SRF"])
+    evalscores_img(str(root), str(our_res), "SALSYN", ["SRF"],
+                   rng=np.random.RandomState(90), device_auc=False)
+
+    want = loadmat(str(ref_res / "Scores" / "Score_SRF.mat"), "scores")
+    got = loadmat(str(our_res / "Scores" / "Score_SRF.mat"), "scores")
+    assert got.shape == want.shape == (3, 7)
+    assert np.isnan(got[1]).all()  # i2 is degenerate
+    _assert_img_scores_close(got, want, scorer.KEYS_ORDER)
+
+
+def test_evalscores_img_sum_matches_reference(ref_score, ref_data, tmp_path, monkeypatch):
+    """Driver-level parity for the summed-shufmap image evaluator:
+    the reference's evalscores_img_sum (utils_score.py:570-627) vs ours —
+    Scores_sum layout, the Shuffle_<DS>.mat cache round-trip (created by the
+    reference at the default 480x640, consumed by both), and the per-image
+    resize_fixation of the shufmap down to each image's 48x64 grid."""
+    import iip_uavsal_saliency_tpu.evaluation.scorer as scorer
+    from iip_uavsal_saliency_tpu.data.matio import loadmat
+    from iip_uavsal_saliency_tpu.evaluation.scorer import evalscores_img_sum
+
+    monkeypatch.setattr(np, "NaN", np.nan, raising=False)
+
+    h, w = 48, 64
+    names = ["i1", "i2", "i3"]
+    root = _img_tree(tmp_path, names, h, w, seed=72)
+    ref_res = tmp_path / "ref_res"
+    our_res = tmp_path / "our_res"
+    for d in (ref_res, our_res):
+        _img_salmaps(d, names, h, w, seed=73)
+
+    np.random.seed(91)
+    ref_score.evalscores_img_sum(str(root) + os.sep, str(ref_res) + os.sep,
+                                 "SALSYN", ["SRF"])
+    assert (root / "Shuffle_SALSYN.mat").exists()  # cache shared with ours
+    evalscores_img_sum(str(root), str(our_res), "SALSYN", ["SRF"],
+                       rng=np.random.RandomState(91), device_auc=False)
+
+    want = loadmat(str(ref_res / "Scores_sum" / "Score_SRF.mat"), "scores")
+    got = loadmat(str(our_res / "Scores_sum" / "Score_SRF.mat"), "scores")
+    assert got.shape == want.shape == (3, 7)
+    assert not np.isnan(want).any()
+    _assert_img_scores_close(got, want, scorer.KEYS_ORDER)
+
+
+@pytest.mark.parametrize("with_fix", [0, 1])
+def test_visual_img_matches_reference(ref_data, tmp_path, with_fix):
+    """The reference's visual_img exporter (utils_vis.py:59-101) vs ours on
+    the same images/salmaps/fixations: identical Visual_color/<n>.png files
+    (PNG is lossless; the overlay arithmetic, fixation-dot dilation, and
+    bare-max rescale are float-identical, so decoded pixels match exactly
+    up to rint at half-integer boundaries)."""
+    import utils_vis as ref_vis
+
+    from iip_uavsal_saliency_tpu.vis.overlay import visual_img
+
+    h, w = 48, 64
+    names = ["i1", "i2"]
+    root = _img_tree(tmp_path, names, h, w, seed=74)
+    res = tmp_path / "res"
+    mdir = _img_salmaps(res, names, h, w, seed=75)
+
+    sals_dir = str(res / "Saliency")
+    ref_vis.visual_img(str(root) + os.sep, sals_dir + os.sep, ["SRF"],
+                       with_fix=with_fix)
+    out_dir = mdir / "Visual_color"
+    assert sorted(os.listdir(out_dir)) == ["i1.png", "i2.png"]
+    ref_dir = mdir / "Visual_color_ref"
+    out_dir.rename(ref_dir)  # ours resume-skips existing outputs
+
+    visual_img(str(root), sals_dir, ["SRF"], with_fix=with_fix)
+    for n in names:
+        want = cv2.imread(str(ref_dir / f"{n}.png"), -1)
+        got = cv2.imread(str(out_dir / f"{n}.png"), -1)
+        assert got is not None and want is not None and got.shape == want.shape
+        diff = np.abs(got.astype(np.int16) - want.astype(np.int16))
+        assert diff.max() <= 1, f"{n}: max diff {diff.max()}"
+        assert (diff > 0).mean() < 1e-3, f"{n}: {(diff > 0).mean():.2%} off"
