@@ -52,34 +52,48 @@ def _userblock() -> bytes:
     return header.ljust(512, b"\x00")
 
 
+def _write_h5(group, key: str, value) -> None:
+    if isinstance(value, Mapping):
+        # MATLAB scalar struct: a group whose members are the fields
+        # (hdf5storage layout; e.g. the reference's per-method score files,
+        # utils_score.py:490 `{'scores': {video: (T, 7) array}}`)
+        g = group.create_group(key)
+        g.attrs["MATLAB_class"] = np.bytes_(b"struct")
+        for k, v in value.items():
+            _write_h5(g, k, v)
+        return
+    arr = np.asarray(value)
+    if arr.dtype == np.bool_:
+        arr = arr.astype(np.uint8)
+        mat_class = b"logical"
+    else:
+        mat_class = _MATLAB_CLASS.get(arr.dtype)
+        if mat_class is None:
+            raise TypeError(f"unsupported dtype for .mat: {arr.dtype}")
+    # gzip like hdf5storage (its default compresses datasets over
+    # 16 KiB): per-video salmaps are large smooth uint8 tensors that
+    # shrink 10-50x; tiny arrays skip the filter overhead. Level 4
+    # compresses nearly as well as hdf5storage's 7 at ~2x the speed.
+    kw = (
+        dict(compression="gzip", compression_opts=4, chunks=True)
+        if arr.ndim and arr.nbytes >= 16384
+        else {}
+    )
+    ds = group.create_dataset(key, data=arr.T if arr.ndim else arr, **kw)
+    ds.attrs["MATLAB_class"] = np.bytes_(mat_class)
+    if mat_class == b"logical":
+        ds.attrs["MATLAB_int_decode"] = np.int32(1)
+
+
 def savemat(path: str, data: Mapping[str, np.ndarray]) -> None:
     """Write a MATLAB v7.3 (HDF5) file. Arrays are stored axis-reversed with
-    MATLAB_class attrs; round-trips with `loadmat` and with MATLAB/hdf5storage."""
+    MATLAB_class attrs; dict values become MATLAB structs; round-trips with
+    `loadmat` and with MATLAB/hdf5storage."""
     import h5py
 
     with h5py.File(path, "w", userblock_size=512) as f:
         for key, value in data.items():
-            arr = np.asarray(value)
-            if arr.dtype == np.bool_:
-                arr = arr.astype(np.uint8)
-                mat_class = b"logical"
-            else:
-                mat_class = _MATLAB_CLASS.get(arr.dtype)
-                if mat_class is None:
-                    raise TypeError(f"unsupported dtype for .mat: {arr.dtype}")
-            # gzip like hdf5storage (its default compresses datasets over
-            # 16 KiB): per-video salmaps are large smooth uint8 tensors that
-            # shrink 10-50x; tiny arrays skip the filter overhead. Level 4
-            # compresses nearly as well as hdf5storage's 7 at ~2x the speed.
-            kw = (
-                dict(compression="gzip", compression_opts=4, chunks=True)
-                if arr.ndim and arr.nbytes >= 16384
-                else {}
-            )
-            ds = f.create_dataset(key, data=arr.T if arr.ndim else arr, **kw)
-            ds.attrs["MATLAB_class"] = np.bytes_(mat_class)
-            if mat_class == b"logical":
-                ds.attrs["MATLAB_int_decode"] = np.int32(1)
+            _write_h5(f, key, value)
     with open(path, "r+b") as f:
         f.write(_userblock())
 
@@ -103,6 +117,10 @@ def loadmat(path: str, key: str | None = None) -> Any:
         return {k: v for k, v in md.items() if not k.startswith("__")}
 
 
-def _read_h5(ds) -> np.ndarray:
+def _read_h5(ds):
+    import h5py
+
+    if isinstance(ds, h5py.Group):  # MATLAB struct -> dict of fields
+        return {k: _read_h5(ds[k]) for k in ds.keys()}
     arr = np.asarray(ds)
     return arr.T if arr.ndim > 1 else arr

@@ -209,12 +209,18 @@ def visual_vid_frames(
     vid_ext = _vid_ext(dataset)
 
     for method in method_names:
-        salmap_dir = os.path.join(sals_dir, method)
+        if method.lower() == "gt":  # GT frames come from the fixMaps
+            # (reference: Tools/visualization_vid_frame.py:43-50)
+            salmap_dir = os.path.join(root_dir, "maps")
+            sal_key, sal_suffix = "fixMap", "_fixMaps.mat"
+        else:
+            salmap_dir = os.path.join(sals_dir, method)
+            sal_key, sal_suffix = "salmap", ".mat"
         out_path = os.path.join(salmap_dir, "Visual_frames")
         os.makedirs(out_path, exist_ok=True)
-        for name in sorted(f for f in os.listdir(salmap_dir) if f.endswith(".mat")):
-            file_name = name[:-4]
-            salmap = np.rint(loadmat(os.path.join(salmap_dir, name), "salmap")).astype(np.uint8)
+        for name in sorted(f for f in os.listdir(salmap_dir) if f.endswith(sal_suffix)):
+            file_name = name[: -len(sal_suffix)]
+            salmap = np.rint(loadmat(os.path.join(salmap_dir, name), sal_key)).astype(np.uint8)
             fixname = os.path.join(fixs_dir, file_name + "_fixPts.mat")
             fixpts = None
             if with_fix and os.path.exists(fixname):
@@ -240,4 +246,9 @@ def visual_vid_frames(
                 cv2.imwrite(
                     os.path.join(out_path, f"{file_name}_f{fi:05d}.png"), im2uint8(overmap)
                 )
+                if with_color:  # raw source frame alongside the overlay
+                    # (reference: Tools/visualization_vid_frame.py:90-92)
+                    imgname = os.path.join(out_path, f"{file_name}_f{fi:05d}_frame.png")
+                    if not os.path.exists(imgname):
+                        cv2.imwrite(imgname, img)
             cap.release()

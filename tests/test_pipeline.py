@@ -388,7 +388,10 @@ def test_visual_vid_frames(trained, video_dataset, tmp_path_factory):
     visual_vid_frames(video_dataset, res, "UAV2", ["M"], frame_indices=(0, 3))
     out = os.path.join(res, "Saliency", "M", "Visual_frames")
     assert sorted(os.listdir(out)) == [
-        "vid_a_f00000.png", "vid_a_f00003.png", "vid_b_f00000.png", "vid_b_f00003.png",
+        "vid_a_f00000.png", "vid_a_f00000_frame.png",
+        "vid_a_f00003.png", "vid_a_f00003_frame.png",
+        "vid_b_f00000.png", "vid_b_f00000_frame.png",
+        "vid_b_f00003.png", "vid_b_f00003_frame.png",
     ]
 
 

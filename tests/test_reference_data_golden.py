@@ -786,18 +786,20 @@ def test_img_fixation_pools_match_reference(ref_score, ref_data, tmp_path, monke
         np.testing.assert_array_equal(got, want, err_msg=f"seed {seed}")
 
 
-def _assert_img_scores_close(got, want, keys_order):
+def _assert_img_scores_close(got, want, keys_order, atol_det=1e-8):
     np.testing.assert_array_equal(np.isnan(got), np.isnan(want))
     m = ~np.isnan(want[:, 0])
     cols = {k: i for i, k in enumerate(keys_order)}
-    # KLD/SIM: identical float64 formulas on both sides. CC/NSS standardize
-    # with ddof=1 on our side vs the numpy suite's ddof=0 (a documented
-    # reference-internal inconsistency; the gap is ~1/n relative). AUC_Judd
-    # differs only by each side's independent 1e-7 tie jitter. The sampled
-    # AUCs additionally sweep different threshold grids (the numpy suite uses
-    # a coarse 0.1 step, utils_score.py:106) — statistical agreement only.
-    np.testing.assert_allclose(got[m, cols["KLD"]], want[m, cols["KLD"]], atol=1e-8)
-    np.testing.assert_allclose(got[m, cols["SIM"]], want[m, cols["SIM"]], atol=1e-8)
+    # KLD/SIM: identical float64 formulas on both sides (the video scorer
+    # ships frames as float32, so its caller passes a wider atol_det).
+    # CC/NSS standardize with ddof=1 on our side vs the numpy suite's ddof=0
+    # (a documented reference-internal inconsistency; the gap is ~1/n
+    # relative). AUC_Judd differs only by each side's independent 1e-7 tie
+    # jitter. The sampled AUCs additionally sweep different threshold grids
+    # (the numpy suite uses a coarse 0.1 step, utils_score.py:106) —
+    # statistical agreement only.
+    np.testing.assert_allclose(got[m, cols["KLD"]], want[m, cols["KLD"]], atol=atol_det)
+    np.testing.assert_allclose(got[m, cols["SIM"]], want[m, cols["SIM"]], atol=atol_det)
     np.testing.assert_allclose(
         got[m, cols["CC"]], want[m, cols["CC"]], rtol=2e-3, atol=1e-6
     )
@@ -920,3 +922,121 @@ def test_visual_img_matches_reference(ref_data, tmp_path, with_fix):
         diff = np.abs(got.astype(np.int16) - want.astype(np.int16))
         assert diff.max() <= 1, f"{n}: max diff {diff.max()}"
         assert (diff > 0).mean() < 1e-3, f"{n}: {(diff > 0).mean():.2%} off"
+
+
+# --------------------------------------------------------------------------- #
+# Video sum-shufmap strategy + frame exporter: the remaining driver surfaces.
+
+
+def test_sum_shufmap_vid_matches_reference(ref_score, ref_data, tmp_path):
+    """build_shuffle_map vs the reference's own getSumFix_vid
+    (utils_score.py:274-307): bit-exact on both the same-shape branch and
+    the resize_fixation branch to the dataset-default 480x640 grid."""
+    from iip_uavsal_saliency_tpu.evaluation.scorer import build_shuffle_map
+
+    h, w, t = 72, 96, 6
+    root = _gt_tree(tmp_path, ["a", "b"], h, w, t, seed=95)
+    fixs = str(root / "fixations" / "maps")
+
+    want = ref_score.getSumFix_vid(fixs + os.sep, "SYN-TE")  # default (480,640)
+    got = build_shuffle_map(fixs, "SYN-TE")
+    np.testing.assert_array_equal(got, want)
+    assert got.shape == (480, 640) and got.max() >= 1
+
+    want2 = ref_score.getSumFix_vid(fixs + os.sep, "SYN-TE", size=(h, w))
+    got2 = build_shuffle_map(fixs, "SYN-TE", size=(h, w))
+    np.testing.assert_array_equal(got2, want2)
+
+
+def test_eval_driver_sum_matches_reference(ref_score, ref_data, tmp_path, monkeypatch):
+    """Driver-level parity for the sum-shufmap video evaluator: the
+    reference's numpy evalscores_vid_sum (utils_score.py:411-490) vs ours on
+    identical trees — the Shuffle_<DS>.mat cache round-trip (created by the
+    reference through our matio writer, consumed by both), per-video
+    iscore files, NaN rows, and the reference's dict-valued aggregate
+    Score_<method>.mat (a MATLAB struct, read back through our loadmat)."""
+    import iip_uavsal_saliency_tpu.evaluation.scorer as scorer
+    from iip_uavsal_saliency_tpu.data.matio import loadmat
+    from iip_uavsal_saliency_tpu.evaluation.scorer import evalscores_vid_sum
+
+    monkeypatch.setattr(np, "NaN", np.nan, raising=False)
+
+    h, w, t = 72, 96, 6
+    vids = ["a", "b"]
+    root = _gt_tree(tmp_path, vids, h, w, t, empty_frame_of="a", seed=96)
+    ref_sal = tmp_path / "ref_sal"
+    our_sal = tmp_path / "our_sal"
+    for d in (ref_sal, our_sal):
+        _salmap_tree(d, vids, [(h, w), (h, w)], t, seed=97)
+
+    np.random.seed(98)
+    ref_score.evalscores_vid_sum(
+        str(root) + os.sep, str(ref_sal) + os.sep, "SYN-TE", ["UAVSal"]
+    )
+    assert (root / "Shuffle_SYN-TE.mat").exists()  # cache shared with ours
+    evalscores_vid_sum(
+        str(root), str(our_sal), "SYN-TE", ["UAVSal"],
+        rng=np.random.RandomState(98), device_auc=False,
+    )
+
+    agg = loadmat(str(ref_sal / "Scores_sum" / "Score_UAVSal.mat"), "scores")
+    assert isinstance(agg, dict) and set(agg) == set(vids)  # struct round-trip
+    for v in vids:
+        want = loadmat(
+            str(ref_sal / "Scores_sum" / "UAVSal" / f"Score_{v}.mat"), "iscore"
+        )
+        got = loadmat(
+            str(our_sal / "Scores_sum" / "UAVSal" / f"Score_{v}.mat"), "iscore"
+        )
+        assert got.shape == want.shape == (t, 7)
+        np.testing.assert_array_equal(want, agg[v])
+        if v == "a":
+            assert np.isnan(got[t - 1]).all()
+        _assert_img_scores_close(got, want, scorer.KEYS_ORDER, atol_det=1e-5)
+
+
+@pytest.mark.parametrize("method", ["UAVSal", "GT"])
+def test_frame_exporter_matches_reference(ref_data, tmp_path, method):
+    """The reference's Tools/visualization_vid_frame.py exporter vs our
+    visual_vid_frames on the same video/salmaps/fixations (color overlay +
+    fixation dots, and the GT mode that overlays the fixMaps): per-frame
+    PNG content matches (naming differs: <v>_<i>_<method>.png there,
+    <v>_f%05d.png here), including the raw source-frame PNGs."""
+    sys.path.insert(0, os.path.join(REF_DIR, "Tools"))
+    try:
+        import visualization_vid_frame as ref_frames
+    finally:
+        sys.path.pop(0)
+
+    from iip_uavsal_saliency_tpu.vis.overlay import visual_vid_frames
+
+    h, w, t = 72, 96, 6
+    root = _gt_tree(tmp_path, ["a"], h, w, t, seed=99)
+    (root / "Videos").mkdir()
+    _write_synthetic_video(root / "Videos" / "a.avi", h, w, t, seed=100)
+    sal_dir = tmp_path / "sal"
+    _salmap_tree(sal_dir, ["a"], [(h, w)], t, seed=101)
+
+    ref_frames.visual_vid_frame(
+        str(root) + os.sep, str(sal_dir / "Saliency") + os.sep, "UAV2-TE",
+        [method], VID_NUM=[0], Frame_NUM=[0, 2], with_color=1, with_fix=1,
+    )
+    visual_vid_frames(str(root), str(sal_dir), "UAV2-TE", [method],
+                      frame_indices=(0, 2), with_color=1, with_fix=1)
+
+    ref_out = sal_dir / "Saliency" / "frame_out"
+    our_out = (root / "maps" if method == "GT"
+               else sal_dir / "Saliency" / method) / "Visual_frames"
+    for fi in (0, 2):
+        for ref_name, our_name in (
+            (f"a_{fi}_{method}.png", f"a_f{fi:05d}.png"),
+            (f"a_{fi}_frame.png", f"a_f{fi:05d}_frame.png"),
+        ):
+            want = cv2.imread(str(ref_out / ref_name), -1)
+            got = cv2.imread(str(our_out / our_name), -1)
+            assert want is not None, ref_name
+            assert got is not None, our_name
+            assert got.shape == want.shape
+            diff = np.abs(got.astype(np.int16) - want.astype(np.int16))
+            assert diff.max() <= 1, f"{our_name}: max diff {diff.max()}"
+            assert (diff > 0).mean() < 1e-3, our_name
