@@ -39,13 +39,19 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--cpu", action="store_true", help="force JAX onto CPU")
     ap.add_argument("--clips", type=int, default=8)
-    ap.add_argument("--height", type=int, default=360)
-    ap.add_argument("--width", type=int, default=640)
+    ap.add_argument("--height", type=int, default=None,
+                    help="input height (default 360; 64 under --cpu)")
+    ap.add_argument("--width", type=int, default=None,
+                    help="input width (default 640; 64 under --cpu)")
     ap.add_argument("--time-dims", type=int, default=5)
     args = ap.parse_args()
     if args.cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
-        args.height, args.width = 64, 64  # keep the CPU demo snappy
+    # keep the CPU demo snappy, but honor explicitly passed sizes
+    if args.height is None:
+        args.height = 64 if args.cpu else 360
+    if args.width is None:
+        args.width = 64 if args.cpu else 640
 
     import jax
     import jax.numpy as jnp

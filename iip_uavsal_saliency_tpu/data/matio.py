@@ -85,7 +85,7 @@ def _write_h5(group, key: str, value) -> None:
         ds.attrs["MATLAB_int_decode"] = np.int32(1)
 
 
-def savemat(path: str, data: Mapping[str, np.ndarray]) -> None:
+def savemat(path: str, data: Mapping[str, Any]) -> None:
     """Write a MATLAB v7.3 (HDF5) file. Arrays are stored axis-reversed with
     MATLAB_class attrs; dict values become MATLAB structs; round-trips with
     `loadmat` and with MATLAB/hdf5storage."""

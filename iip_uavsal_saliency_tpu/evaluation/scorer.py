@@ -487,10 +487,14 @@ def collect_all_fixations_img(fixs_dir: str):
     return all_pts
 
 
-def build_shuffle_map_img(fixs_dir: str, size=(480, 640)):
+def build_shuffle_map_img(fixs_dir: str, dataset: str = "", size=None):
     """Summed fixation map over an image dataset
     (reference: utils_score.py:250-307; points thresholded at 0.5 before
-    summing, and no rounding — the summands are already integral)."""
+    summing, and no rounding — the summands are already integral).
+    `size=None` resolves from the dataset's shuffle-size table, like the
+    video builder."""
+    if size is None:
+        size = SHUFF_SIZE.get(dataset.upper(), SHUFF_SIZE["default"])
     fix_names = sorted(f for f in os.listdir(fixs_dir) if f.endswith(".mat"))
     shufmap = np.zeros(size)
     for name in fix_names:
@@ -681,9 +685,7 @@ def evalscores_img_sum(
     if "AUC_shuffled" in keys_order:
         cache = os.path.join(data_dir, f"Shuffle_{dataset.upper()}.mat")
         if not os.path.exists(cache):
-            shufmap = build_shuffle_map_img(
-                fixs_dir, size=SHUFF_SIZE.get(dataset.upper(), SHUFF_SIZE["default"])
-            )
+            shufmap = build_shuffle_map_img(fixs_dir, dataset)
             savemat(cache, {"ShufMap": shufmap})
         else:
             shufmap = loadmat(cache, "ShufMap")

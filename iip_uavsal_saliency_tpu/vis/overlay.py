@@ -99,6 +99,15 @@ def visual_img(root_dir: str, sals_dir: str, method_names: Sequence[str], with_f
             cv2.imwrite(outname, im2uint8(overmap))
 
 
+def _method_source(method: str, root_dir: str, sals_dir: str):
+    """(salmap_dir, mat key, filename suffix) for a method name; 'GT'
+    overlays the ground-truth fixMaps (reference: utils_vis.py:125-136,
+    Tools/visualization_vid_frame.py:43-50)."""
+    if method.lower() == "gt":
+        return os.path.join(root_dir, "maps"), "fixMap", "_fixMaps.mat"
+    return os.path.join(sals_dir, method), "salmap", ".mat"
+
+
 def visual_vid(
     root_dir: str,
     sal_dir: str,
@@ -118,12 +127,7 @@ def visual_vid(
     vid_ext = _vid_ext(dataset)
 
     for method in method_names:
-        if method.lower() == "gt":
-            salmap_dir = os.path.join(root_dir, "maps")
-            sal_key, sal_suffix = "fixMap", "_fixMaps.mat"
-        else:
-            salmap_dir = os.path.join(sals_dir, method)
-            sal_key, sal_suffix = "salmap", ".mat"
+        salmap_dir, sal_key, sal_suffix = _method_source(method, root_dir, sals_dir)
 
         if with_color:
             sub = "Visual_color_fix" if with_fix else "Visual_color_map"
@@ -209,13 +213,7 @@ def visual_vid_frames(
     vid_ext = _vid_ext(dataset)
 
     for method in method_names:
-        if method.lower() == "gt":  # GT frames come from the fixMaps
-            # (reference: Tools/visualization_vid_frame.py:43-50)
-            salmap_dir = os.path.join(root_dir, "maps")
-            sal_key, sal_suffix = "fixMap", "_fixMaps.mat"
-        else:
-            salmap_dir = os.path.join(sals_dir, method)
-            sal_key, sal_suffix = "salmap", ".mat"
+        salmap_dir, sal_key, sal_suffix = _method_source(method, root_dir, sals_dir)
         out_path = os.path.join(salmap_dir, "Visual_frames")
         os.makedirs(out_path, exist_ok=True)
         for name in sorted(f for f in os.listdir(salmap_dir) if f.endswith(sal_suffix)):
