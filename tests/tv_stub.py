@@ -242,6 +242,58 @@ def vgg16(pretrained=False, progress=True, **kwargs):
     return VGG(_vgg_layers(_VGG16_CFG), **kwargs)
 
 
+class Compose:
+    """Minimal torchvision.transforms for importing the reference's
+    dataset.py (module-level Compose([...]) objects; reference:
+    dataset.py:14-24). Functional enough for tests that feed images."""
+
+    def __init__(self, ts):
+        self.transforms = ts
+
+    def __call__(self, x):
+        for t in self.transforms:
+            x = t(x)
+        return x
+
+
+class ToTensor:
+    def __call__(self, x):
+        import numpy as np
+        import torch as _torch
+
+        a = np.asarray(x)
+        if a.ndim == 2:
+            a = a[:, :, None]
+        t = _torch.from_numpy(np.ascontiguousarray(a.transpose(2, 0, 1)))
+        return t.float().div(255) if a.dtype == np.uint8 else t.float()
+
+
+class Normalize:
+    def __init__(self, mean, std):
+        self.mean, self.std = mean, std
+
+    def __call__(self, t):
+        import torch as _torch
+
+        mean = _torch.tensor(self.mean).view(-1, 1, 1)
+        std = _torch.tensor(self.std).view(-1, 1, 1)
+        return (t - mean) / std
+
+
+class Resize:
+    def __init__(self, size):
+        self.size = size  # (h, w)
+
+    def __call__(self, x):
+        import cv2
+        import numpy as np
+
+        return cv2.resize(
+            np.asarray(x), (self.size[1], self.size[0]),
+            interpolation=cv2.INTER_LINEAR,
+        )
+
+
 def _unavailable(name):
     def f(*a, **k):
         raise NotImplementedError(f"{name} is not available in the offline torchvision stub")
@@ -284,8 +336,14 @@ def install():
     vgg.VGG = VGG
     vgg.vgg16 = vgg16
 
+    tr = types.ModuleType("torchvision.transforms")
+    tr.Compose, tr.ToTensor, tr.Normalize, tr.Resize = (
+        Compose, ToTensor, Normalize, Resize,
+    )
+
     models.mobilenet, models.resnet, models.vgg = mob, res, vgg
     tv.models = models
+    tv.transforms = tr
     sys.modules.update(
         {
             "torchvision": tv,
@@ -293,5 +351,6 @@ def install():
             "torchvision.models.mobilenet": mob,
             "torchvision.models.resnet": res,
             "torchvision.models.vgg": vgg,
+            "torchvision.transforms": tr,
         }
     )
