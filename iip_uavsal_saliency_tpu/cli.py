@@ -11,7 +11,7 @@ blocks.
     python -m iip_uavsal_saliency_tpu test       [--model-path ...]
     python -m iip_uavsal_saliency_tpu eval       [--methods A,B]
     python -m iip_uavsal_saliency_tpu eval-img   [--methods A,B]
-    python -m iip_uavsal_saliency_tpu vis        [--methods A,B]
+    python -m iip_uavsal_saliency_tpu vis        [--methods A,B|GT] [--with-fix] [--frames 0,5,10]
     python -m iip_uavsal_saliency_tpu modelsize
     python -m iip_uavsal_saliency_tpu pipeline   # train -> test -> eval -> vis
 """
@@ -29,26 +29,34 @@ log = get_logger("cli")
 
 
 def _split_cli(argv: Sequence[str]):
-    """Extract --config and --methods; pass the rest to load_config."""
+    """Extract --config/--methods/--model-path/--frames/--with-fix; pass the
+    rest to load_config. Returns (cfg_path, methods, vis_opts, rest)."""
     argv = list(argv)
     cfg_path, methods = None, None
+    vis_opts = {"frames": None, "with_fix": 0}
     rest: List[str] = []
     i = 0
     while i < len(argv):
-        if argv[i] in ("--config", "--methods", "--model-path"):
+        if argv[i] == "--with-fix":
+            vis_opts["with_fix"] = 1
+            i += 1
+            continue
+        if argv[i] in ("--config", "--methods", "--model-path", "--frames"):
             if i + 1 >= len(argv):
                 raise SystemExit(f"flag {argv[i]} needs a value")
             if argv[i] == "--config":
                 cfg_path = argv[i + 1]
             elif argv[i] == "--methods":
                 methods = argv[i + 1].split(",")
+            elif argv[i] == "--frames":
+                vis_opts["frames"] = [int(v) for v in argv[i + 1].split(",")]
             else:
                 rest += ["--pre_model_path", argv[i + 1]]
             i += 2
         else:
             rest.append(argv[i])
             i += 1
-    return cfg_path, methods, rest
+    return cfg_path, methods, vis_opts, rest
 
 
 def cmd_train(cfg: Config):
@@ -180,13 +188,25 @@ def cmd_eval_img(cfg: Config, methods: Optional[Sequence[str]]):
     mean_scores_img(res_dir, methods)
 
 
-def cmd_vis(cfg: Config, methods: Optional[Sequence[str]]):
+def cmd_vis(cfg: Config, methods: Optional[Sequence[str]],
+            frames: Optional[Sequence[int]] = None, with_fix: int = 0):
+    """Overlay videos, or per-frame PNGs with --frames i,j,k (methods may
+    include 'GT' to overlay the ground-truth fixMaps; reference:
+    utils_vis.py:103-213, Tools/visualization_vid_frame.py)."""
+    methods = methods or [cfg.method_name]
+    if frames is not None:
+        from .vis.overlay import visual_vid_frames
+
+        visual_vid_frames(
+            cfg.test_data_dir, cfg.test_result_path, cfg.test_dataset, methods,
+            frame_indices=frames, with_color=1, with_fix=with_fix,
+        )
+        return
     from .vis.overlay import visual_vid
 
-    methods = methods or [cfg.method_name]
     visual_vid(
         cfg.test_data_dir, cfg.test_result_path, cfg.test_dataset, methods,
-        with_color=1, with_fix=0,
+        with_color=1, with_fix=with_fix,
     )
 
 
@@ -218,7 +238,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         print(__doc__)
         return 0
     cmd, rest = argv[0], argv[1:]
-    cfg_path, methods, rest = _split_cli(rest)
+    cfg_path, methods, vis_opts, rest = _split_cli(rest)
     cfg = load_config(cfg_path, rest)
 
     if cmd == "train":
@@ -232,7 +252,8 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     elif cmd == "eval-img":
         cmd_eval_img(cfg, methods)
     elif cmd == "vis":
-        cmd_vis(cfg, methods)
+        cmd_vis(cfg, methods, frames=vis_opts["frames"],
+                with_fix=vis_opts["with_fix"])
     elif cmd == "modelsize":
         cmd_modelsize(cfg)
     elif cmd == "pipeline":  # reference: Demo_Train_Test.py:283-303

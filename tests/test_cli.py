@@ -5,13 +5,23 @@ from iip_uavsal_saliency_tpu.utils.config import load_config
 
 
 def test_split_cli():
-    cfg_path, methods, rest = _split_cli(
+    cfg_path, methods, vis_opts, rest = _split_cli(
         ["--config", "c.json", "--methods", "A,B", "--epochs", "3",
          "--model-path", "/w/final.ckpt"]
     )
     assert cfg_path == "c.json"
     assert methods == ["A", "B"]
     assert rest == ["--epochs", "3", "--pre_model_path", "/w/final.ckpt"]
+    assert vis_opts == {"frames": None, "with_fix": 0}
+
+
+def test_split_cli_vis_flags():
+    """--frames/--with-fix reach cmd_vis (frame exporter + fixation dots)."""
+    _, _, vis_opts, rest = _split_cli(
+        ["--frames", "0,5,10", "--with-fix", "--epochs", "1"]
+    )
+    assert vis_opts == {"frames": [0, 5, 10], "with_fix": 1}
+    assert rest == ["--epochs", "1"]
 
 
 def test_load_config_overrides():
@@ -48,6 +58,8 @@ def test_split_cli_missing_value():
 
     with _pytest.raises(SystemExit):
         _split_cli(["--model-path"])
+    with _pytest.raises(SystemExit):
+        _split_cli(["--frames"])
 
 
 def test_config_resume_and_videos_flags():
