@@ -1249,3 +1249,41 @@ def test_train_driver_matches_reference(ref_data, tmp_path, monkeypatch):
             f"update {tname}: sign agreement {sign_agree:.3f} "
             f"on {int(big.sum())} large entries"
         )
+
+
+def test_split_creation_matches_reference(ref_data, tmp_path):
+    """shuffle_data_dir / shuffle_data_list vs the reference's own
+    shuffleData4Dir/List (utils_data.py:98-154) with the same seeded
+    random.shuffle: identical train/val partitions and txt files."""
+    import random
+
+    from iip_uavsal_saliency_tpu.data.lists import shuffle_data_dir, shuffle_data_list
+
+    names = [f"vid{i:02d}.avi" for i in range(10)]
+    for side in ("ref", "ours"):
+        d = tmp_path / side / "videos"
+        d.mkdir(parents=True)
+        for n in names:
+            (d / n).touch()
+
+    random.seed(7)
+    want_tr, want_va = ref_data.shuffleData4Dir(str(tmp_path / "ref"))
+    random.seed(7)
+    got_tr, got_va = shuffle_data_dir(str(tmp_path / "ours"))
+    assert (got_tr, got_va) == (want_tr, want_va)
+    for split in ("train", "val"):
+        assert (tmp_path / "ours" / f"{split}.txt").read_text() == (
+            tmp_path / "ref" / f"{split}.txt"
+        ).read_text()
+
+    lists = tmp_path / "lists"
+    lists.mkdir()
+    (lists / "all.txt").write_text("".join(n[:-4] + "\n" for n in names))
+    random.seed(8)
+    want = ref_data.shuffleData4List(str(lists / "all.txt"))
+    ref_txt = (lists / "train.txt").read_text(), (lists / "val.txt").read_text()
+    random.seed(8)
+    got = shuffle_data_list(str(lists / "all.txt"))
+    assert got == want
+    assert ((lists / "train.txt").read_text(),
+            (lists / "val.txt").read_text()) == ref_txt
