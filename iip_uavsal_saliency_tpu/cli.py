@@ -28,15 +28,21 @@ from .utils.logging import get_logger
 log = get_logger("cli")
 
 
-def _split_cli(argv: Sequence[str]):
+def _split_cli(argv: Sequence[str], cmd: str = "vis"):
     """Extract --config/--methods/--model-path/--frames/--with-fix; pass the
-    rest to load_config. Returns (cfg_path, methods, vis_opts, rest)."""
+    rest to load_config. Returns (cfg_path, methods, vis_opts, rest).
+
+    --frames/--with-fix are only meaningful to `vis`; any other subcommand
+    rejects them outright (same contract as load_config's unknown-flag
+    error: silently dropping a flag would launch a long run missing it)."""
     argv = list(argv)
     cfg_path, methods = None, None
     vis_opts = {"frames": None, "with_fix": 0}
     rest: List[str] = []
     i = 0
     while i < len(argv):
+        if argv[i] in ("--with-fix", "--frames") and cmd != "vis":
+            raise SystemExit(f"flag {argv[i]} is only valid for the vis command")
         if argv[i] == "--with-fix":
             vis_opts["with_fix"] = 1
             i += 1
@@ -49,7 +55,12 @@ def _split_cli(argv: Sequence[str]):
             elif argv[i] == "--methods":
                 methods = argv[i + 1].split(",")
             elif argv[i] == "--frames":
-                vis_opts["frames"] = [int(v) for v in argv[i + 1].split(",")]
+                try:
+                    vis_opts["frames"] = [int(v) for v in argv[i + 1].split(",")]
+                except ValueError:
+                    raise SystemExit(
+                        f"--frames wants comma-separated ints, got {argv[i + 1]!r}"
+                    )
             else:
                 rest += ["--pre_model_path", argv[i + 1]]
             i += 2
@@ -238,7 +249,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         print(__doc__)
         return 0
     cmd, rest = argv[0], argv[1:]
-    cfg_path, methods, vis_opts, rest = _split_cli(rest)
+    cfg_path, methods, vis_opts, rest = _split_cli(rest, cmd)
     cfg = load_config(cfg_path, rest)
 
     if cmd == "train":

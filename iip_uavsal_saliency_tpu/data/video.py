@@ -22,30 +22,55 @@ except Exception:  # pragma: no cover
     cv2 = None
 
 
+def _read_frames(cap, max_frames, transform):
+    """Decode until cap.read() fails (or max_frames), writing into a buffer
+    preallocated from the header frame count. The header is a capacity HINT,
+    not a bound: headers that UNDERcount (VFR / stream-muxed files, count=0
+    webms) grow with one tail copy, headers that OVERcount trim to a view —
+    so no fabricated black frames, no dropped tails, and peak host RAM stays
+    ~one copy of the video instead of the 2x a list+np.stack pays.
+
+    Returns (frames or None if zero frames decoded, n)."""
+    header_n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    n = 0
+    buf = None
+    extra = []
+    while n + len(extra) < max_frames:
+        ret, frame = cap.read()
+        if not ret:
+            break
+        f = transform(frame)
+        if buf is None:
+            hint = int(min(header_n, max_frames)) if header_n > 0 else 0
+            buf = np.empty((hint,) + f.shape, f.dtype)
+        if n < buf.shape[0]:
+            buf[n] = f
+            n += 1
+        else:
+            extra.append(f)
+    if buf is None:
+        return None, 0
+    if extra:
+        frames = np.concatenate([buf[:n], np.stack(extra)]) if n else np.stack(extra)
+    else:
+        frames = buf[:n]
+    return frames, n + len(extra)
+
+
 def decode_video(path: str, max_frames: float = float("inf")) -> Tuple[np.ndarray, int, int, int]:
     """Decode all frames (BGR uint8). Returns (frames(T,H,W,3), n, height, width).
 
-    The container header's CAP_PROP_FRAME_COUNT is treated as a hint, not
-    a bound: decoding runs until cap.read() fails (or max_frames), so
-    headers that UNDERcount (VFR / stream-muxed files, count=0 webms)
-    don't silently drop the tail, and headers that overcount don't yield
-    fabricated black frames."""
+    See _read_frames for the header-count-as-hint decode semantics."""
     if cv2 is None:
         raise RuntimeError("OpenCV (cv2) required for video decode")
     cap = cv2.VideoCapture(path)
     width = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
     height = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
-    out = []
-    while len(out) < max_frames:
-        ret, frame = cap.read()
-        if not ret:
-            break
-        out.append(frame)
+    frames, n = _read_frames(cap, max_frames, lambda f: f)
     cap.release()
-    frames = (
-        np.stack(out) if out else np.zeros((0, height, width, 3), np.uint8)
-    )
-    return frames, len(out), height, width
+    if frames is None:
+        frames = np.zeros((0, height, width, 3), np.uint8)
+    return frames, n, height, width
 
 
 def probe_nframes(path: str) -> int:
@@ -76,21 +101,16 @@ def preprocess_videos(
     width = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
     height = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
 
-    # Header frame counts lie in both directions (VFR/stream-muxed files:
-    # undercount or 0; some encoders: overcount): decode until cap.read()
-    # fails. Every consumer pairs frames with GT by min(), so extra real
-    # frames are safe and missing fabricated ones are a correctness fix.
-    out = []
-    while len(out) < frames:
-        ret, frame = cap.read()
-        if not ret:
-            break
-        out.append(padding(frame, shape_r, shape_c, 3))
-    cap.release()
-    nframes = len(out)
-    ims = (
-        np.stack(out) if out else np.zeros((0, shape_r, shape_c, 3), np.uint8)
+    # Header frame counts lie in both directions; _read_frames decodes until
+    # cap.read() fails. Every consumer pairs frames with GT by min(), so
+    # extra real frames are safe and missing fabricated ones are a
+    # correctness fix.
+    ims, nframes = _read_frames(
+        cap, frames, lambda f: padding(f, shape_r, shape_c, 3)
     )
+    cap.release()
+    if ims is None:
+        ims = np.zeros((0, shape_r, shape_c, 3), np.uint8)
 
     if mode == "RGB":
         ims = ims[:, :, :, [2, 1, 0]]

@@ -257,7 +257,10 @@ def test_videos(
         if future is not None:
             future.cancel()
             try:
-                exc = future.exception(timeout=30)
+                # Short wait only: long enough to catch a decode that failed
+                # just before the main loop raised, without stalling error
+                # propagation (or Ctrl-C) behind a multi-GB decode in flight.
+                exc = future.exception(timeout=1)
             except Exception:  # still running or cancelled: nothing to report
                 exc = None
             if exc is not None:

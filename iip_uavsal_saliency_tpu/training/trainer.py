@@ -120,6 +120,7 @@ class Trainer:
         mesh=None,
     ):
         self.cfg = config
+        self._nframes_cache: dict = {}
         self.train_data_dir = train_data_dir
         self.dataset = dataset
         self.ext = ext
@@ -358,7 +359,14 @@ class Trainer:
         shape_r, shape_c = cfg.iosize[:2]
         triples = list(zip(videos, vidmaps, vidfixs))
         try:
-            triples.sort(key=lambda t: min(probe_nframes(t[0]), max_frames))
+            # Header probes are static per path — cache across epochs/phases
+            # so a several-hundred-video run pays one container open per
+            # video total, not per epoch.
+            cache = self._nframes_cache
+            for vp, _, _ in triples:
+                if vp not in cache:
+                    cache[vp] = probe_nframes(vp)
+            triples.sort(key=lambda t: min(cache[t[0]], max_frames))
         except Exception:  # unreadable header: keep list order
             log.warning("length-bucketing skipped: frame-count probe failed")
         run_loss, num_step = 0.0, 0
@@ -468,6 +476,19 @@ class Trainer:
                 self.metrics.scalar(f"{phase}/mean_loss", mean_loss, epoch)
             # as in the reference, the early-stop metric is the LAST phase's
             # mean loss (val), Demo_Train_Test.py:155-169
+            is_new_best = mean_loss < min_val_loss
+            if is_new_best:
+                best_params = jax.tree_util.tree_map(lambda x: x, self.state.params)
+                best_stats = jax.tree_util.tree_map(lambda x: x, self.state.batch_stats)
+                if not cfg.is_best_only:
+                    # Persist the new best BEFORE the epoch checkpoint records
+                    # this epoch's loss as min_val_loss: a crash between the
+                    # two writes must never leave a resume whose min_val_loss
+                    # points at weights that were never saved.
+                    save_checkpoint(
+                        best_ckpt,
+                        {"params": best_params, "batch_stats": best_stats},
+                    )
             if not cfg.is_best_only:
                 save_checkpoint(
                     f"{self.prefix}_{epoch:02d}_{mean_loss:.4f}.ckpt",
@@ -478,19 +499,12 @@ class Trainer:
                         "step": self.state.step,
                         "epoch": epoch,
                         "min_val_loss": min(mean_loss, min_val_loss),
-                        "num_patience": 0 if mean_loss < min_val_loss else num_patience + 1,
+                        "num_patience": 0 if is_new_best else num_patience + 1,
                     },
                 )
-            if mean_loss < min_val_loss:
+            if is_new_best:
                 min_val_loss = mean_loss
                 num_patience = 0
-                best_params = jax.tree_util.tree_map(lambda x: x, self.state.params)
-                best_stats = jax.tree_util.tree_map(lambda x: x, self.state.batch_stats)
-                if not cfg.is_best_only:  # make resume best-weights-exact
-                    save_checkpoint(
-                        best_ckpt,
-                        {"params": best_params, "batch_stats": best_stats},
-                    )
             else:
                 num_patience += 1
                 if num_patience >= max_patience:

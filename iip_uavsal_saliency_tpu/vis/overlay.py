@@ -214,7 +214,11 @@ def visual_vid_frames(
 
     for method in method_names:
         salmap_dir, sal_key, sal_suffix = _method_source(method, root_dir, sals_dir)
-        out_path = os.path.join(salmap_dir, "Visual_frames")
+        # PNGs always land in the RESULTS tree — the reference exporter
+        # writes SalDir + 'frame_out/' even for GT
+        # (Tools/visualization_vid_frame.py:14), never into the (possibly
+        # read-only) dataset directory that GT's salmap_dir points at.
+        out_path = os.path.join(sals_dir, method, "Visual_frames")
         os.makedirs(out_path, exist_ok=True)
         for name in sorted(f for f in os.listdir(salmap_dir) if f.endswith(sal_suffix)):
             file_name = name[: -len(sal_suffix)]

@@ -218,3 +218,45 @@ def test_dy_priors_reject_non8():
     with pytest.raises(ValueError, match="8 sigma"):
         dy_gaussian_priors(45, 80, nb_gaussian=16)
     assert dy_gaussian_priors(45, 80, nb_gaussian=8).shape == (45, 80, 8)
+
+
+class _FakeCap:
+    """cv2.VideoCapture stand-in with a (possibly lying) header count."""
+
+    def __init__(self, frames, header_count):
+        self._frames = list(frames)
+        self._header = header_count
+        self._i = 0
+
+    def get(self, prop):
+        return self._header
+
+    def read(self):
+        if self._i >= len(self._frames):
+            return False, None
+        f = self._frames[self._i]
+        self._i += 1
+        return True, f
+
+
+@pytest.mark.parametrize("header", [3, 7, 0, -1])
+def test_read_frames_header_is_hint_not_bound(header):
+    """_read_frames preallocates from the header frame count but treats it
+    as a HINT: overcounting headers trim (no fabricated frames),
+    undercounting / zero / negative headers still decode every real frame."""
+    from iip_uavsal_saliency_tpu.data.video import _read_frames
+
+    frames = [np.full((4, 6, 3), i, np.uint8) for i in range(5)]
+    got, n = _read_frames(_FakeCap(frames, header), float("inf"), lambda f: f)
+    assert n == 5 and got.shape == (5, 4, 6, 3)
+    np.testing.assert_array_equal(got, np.stack(frames))
+
+
+def test_read_frames_respects_max_frames_and_empty():
+    from iip_uavsal_saliency_tpu.data.video import _read_frames
+
+    frames = [np.full((4, 6, 3), i, np.uint8) for i in range(5)]
+    got, n = _read_frames(_FakeCap(frames, 5), 2, lambda f: f)
+    assert n == 2 and got.shape[0] == 2
+    got, n = _read_frames(_FakeCap([], 9), float("inf"), lambda f: f)
+    assert got is None and n == 0

@@ -627,3 +627,32 @@ def test_visual_vid_frames_with_fix(video_dataset, tmp_path_factory):
     )
     yy, xx = [int(v[0]) for v in np.nonzero(fixpts[:, :, 0, 0])]
     assert (png[yy, xx] == 255).all(), "fixation dot not burned to white"
+
+
+def test_best_ckpt_written_before_epoch_ckpt(trained, monkeypatch):
+    """A new-best epoch persists _best.ckpt BEFORE the epoch checkpoint that
+    records the new min_val_loss: a crash between the two writes must never
+    leave a resume whose min_val_loss points at weights that were never
+    saved (the stale best would then shadow genuinely better later epochs)."""
+    from types import SimpleNamespace
+
+    import iip_uavsal_saliency_tpu.training.trainer as trmod
+
+    trainer, _, _ = trained
+    order = []
+    real_save = trmod.save_checkpoint
+    monkeypatch.setattr(
+        trmod, "save_checkpoint",
+        lambda path, payload: (order.append(os.path.basename(path)),
+                               real_save(path, payload))[1],
+    )
+    # no device work: only the checkpoint/early-stop logic runs
+    monkeypatch.setattr(trainer, "_run_epoch", lambda phase: 0.0)
+    monkeypatch.setattr(
+        trainer, "metrics",
+        SimpleNamespace(scalar=lambda *a, **k: None, close=lambda: None),
+    )
+    trainer.train()
+    best_i = order.index("TinyUAVSal_best.ckpt")
+    epoch_i = next(i for i, n in enumerate(order) if "_00_" in n)
+    assert best_i < epoch_i, order

@@ -1025,8 +1025,10 @@ def test_frame_exporter_matches_reference(ref_data, tmp_path, method):
                       frame_indices=(0, 2), with_color=1, with_fix=1)
 
     ref_out = sal_dir / "Saliency" / "frame_out"
-    our_out = (root / "maps" if method == "GT"
-               else sal_dir / "Saliency" / method) / "Visual_frames"
+    # PNGs always land in the results tree (even for GT), matching the
+    # reference exporter's SalDir + 'frame_out/' and keeping the dataset dir
+    # untouched
+    our_out = sal_dir / "Saliency" / method / "Visual_frames"
     for fi in (0, 2):
         for ref_name, our_name in (
             (f"a_{fi}_{method}.png", f"a_f{fi:05d}.png"),
