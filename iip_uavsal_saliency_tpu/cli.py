@@ -32,17 +32,21 @@ def _split_cli(argv: Sequence[str], cmd: str = "vis"):
     """Extract --config/--methods/--model-path/--frames/--with-fix; pass the
     rest to load_config. Returns (cfg_path, methods, vis_opts, rest).
 
-    --frames/--with-fix are only meaningful to `vis`; any other subcommand
-    rejects them outright (same contract as load_config's unknown-flag
-    error: silently dropping a flag would launch a long run missing it)."""
+    --frames/--with-fix are only meaningful where vis runs: `vis` itself and
+    `pipeline` (whose last stage is cmd_vis, which receives them). Any other
+    subcommand rejects them outright (same contract as load_config's
+    unknown-flag error: silently dropping a flag would launch a long run
+    missing it)."""
     argv = list(argv)
     cfg_path, methods = None, None
     vis_opts = {"frames": None, "with_fix": 0}
     rest: List[str] = []
     i = 0
     while i < len(argv):
-        if argv[i] in ("--with-fix", "--frames") and cmd != "vis":
-            raise SystemExit(f"flag {argv[i]} is only valid for the vis command")
+        if argv[i] in ("--with-fix", "--frames") and cmd not in ("vis", "pipeline"):
+            raise SystemExit(
+                f"flag {argv[i]} is only valid for the vis and pipeline commands"
+            )
         if argv[i] == "--with-fix":
             vis_opts["with_fix"] = 1
             i += 1
@@ -276,7 +280,8 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         cfg = dataclasses.replace(cfg, pre_model_path="")
         cmd_test(cfg)
         cmd_eval(cfg, methods)
-        cmd_vis(cfg, methods)
+        cmd_vis(cfg, methods, frames=vis_opts["frames"],
+                with_fix=vis_opts["with_fix"])
     else:
         print(f"unknown command: {cmd}\n{__doc__}")
         return 2

@@ -493,10 +493,6 @@ def build_shuffle_map_img(fixs_dir: str, dataset: str = "", size=None):
     summing, and no rounding — the summands are already integral).
     `size=None` resolves from the dataset's shuffle-size table, like the
     video builder."""
-    if isinstance(dataset, (tuple, list)):
-        # pre-round-3 signature was (fixs_dir, size): keep positional
-        # callers that pass the size tuple second working
-        dataset, size = "", dataset
     if size is None:
         size = SHUFF_SIZE.get(dataset.upper(), SHUFF_SIZE["default"])
     fix_names = sorted(f for f in os.listdir(fixs_dir) if f.endswith(".mat"))

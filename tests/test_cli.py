@@ -24,6 +24,17 @@ def test_split_cli_vis_flags():
     assert rest == ["--epochs", "1"]
 
 
+def test_split_cli_vis_flags_pipeline_and_rejection():
+    """pipeline accepts the vis flags (its last stage is cmd_vis); other
+    subcommands reject them outright."""
+    import pytest as _pytest
+
+    _, _, vis_opts, rest = _split_cli(["--frames", "2", "--with-fix"], cmd="pipeline")
+    assert vis_opts == {"frames": [2], "with_fix": 1} and rest == []
+    with _pytest.raises(SystemExit, match="only valid"):
+        _split_cli(["--with-fix"], cmd="test")
+
+
 def test_load_config_overrides():
     cfg = load_config(None, ["--epochs", "3", "--iosize", "288,512,36,64",
                              "--learning_rate", "1e-5", "--is_early_stop", "false"])
