@@ -12,6 +12,7 @@ blocks.
     python -m iip_uavsal_saliency_tpu eval       [--methods A,B]
     python -m iip_uavsal_saliency_tpu eval-img   [--methods A,B]
     python -m iip_uavsal_saliency_tpu vis        [--methods A,B|GT] [--with-fix] [--frames 0,5,10]
+    python -m iip_uavsal_saliency_tpu convert ref.pth out.ckpt [--model_name uavsal]
     python -m iip_uavsal_saliency_tpu modelsize
     python -m iip_uavsal_saliency_tpu pipeline   # train -> test -> eval -> vis
 """
@@ -84,6 +85,7 @@ def cmd_train(cfg: Config):
         iosize=cfg.iosize,
         time_dims=cfg.time_dims,
         num_stblock=cfg.num_stblock,
+        st_type=cfg.st_type,
         bias_type=cfg.bias_type,
         batch_size=cfg.batch_size,
         epochs=cfg.epochs,
@@ -153,6 +155,7 @@ def cmd_test(cfg: Config):
         num_stblock=cfg.num_stblock,
         bias_type=cfg.bias_type,
         model_name=cfg.model_name,
+        st_type=cfg.st_type,
     )
     import jax.numpy as jnp
 
@@ -225,6 +228,45 @@ def cmd_vis(cfg: Config, methods: Optional[Sequence[str]],
     )
 
 
+def cmd_convert(cfg: Config, src: str, dst: str) -> None:
+    """Published reference .pth -> our checkpoint, no Python required
+    (reference user flow: download UAVSal_*.pth, README.md:42-44; the .pth
+    is a pickled module loaded via torch.load().state_dict(),
+    Demo_Test.py:33-39). Together with `test`/`eval` this makes the
+    released-weights path three commands:
+
+        python -m iip_uavsal_saliency_tpu convert UAVSal_UAV2.pth uavsal.ckpt
+        python -m iip_uavsal_saliency_tpu test --model-path uavsal.ckpt
+        python -m iip_uavsal_saliency_tpu eval
+
+    torch (CPU is enough) is needed only for this command — a clear error
+    says so if it's absent. `--model_name`/`--num_stblock`/`--bias_type`/
+    `--st_type` select the ablation layout of the source checkpoint.
+    """
+    try:
+        import torch  # noqa: F401
+    except ImportError:
+        raise SystemExit(
+            "the convert command needs PyTorch (CPU build is enough) to "
+            "unpickle the reference .pth; install torch or convert on a "
+            "machine that has it — every other command runs without torch"
+        )
+    if not os.path.exists(src):
+        raise SystemExit(f"checkpoint not found: {src}")
+    from .models.convert import convert_zoo_state_dict, load_torch_checkpoint
+    from .training.checkpoint import save_checkpoint
+
+    sd = load_torch_checkpoint(src)
+    variables = convert_zoo_state_dict(
+        cfg.model_name, sd, num_stblock=cfg.num_stblock,
+        bias_type=cfg.bias_type, st_type=cfg.st_type,
+    )
+    save_checkpoint(
+        dst, {"params": variables["params"], "batch_stats": variables["batch_stats"]}
+    )
+    log.info("converted %s (%s) -> %s", src, cfg.model_name, dst)
+
+
 def cmd_modelsize(cfg: Config):
     import jax
     import jax.numpy as jnp
@@ -253,6 +295,26 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         print(__doc__)
         return 0
     cmd, rest = argv[0], argv[1:]
+    positionals: List[str] = []
+    if cmd == "convert":
+        # convert takes two positionals (src .pth, dst .ckpt); every flag
+        # in this CLI is --key value, so split positionals out first
+        flags: List[str] = []
+        i = 0
+        while i < len(rest):
+            if rest[i].startswith("--"):
+                flags += rest[i : i + 2]
+                i += 2
+            else:
+                positionals.append(rest[i])
+                i += 1
+        if len(positionals) != 2:
+            raise SystemExit(
+                "usage: convert <reference.pth> <out.ckpt> "
+                "[--model_name NAME] [--num_stblock N] [--bias_type 1,1,1] "
+                "[--st_type st]"
+            )
+        rest = flags
     cfg_path, methods, vis_opts, rest = _split_cli(rest, cmd)
     cfg = load_config(cfg_path, rest)
 
@@ -269,6 +331,8 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     elif cmd == "vis":
         cmd_vis(cfg, methods, frames=vis_opts["frames"],
                 with_fix=vis_opts["with_fix"])
+    elif cmd == "convert":
+        cmd_convert(cfg, positionals[0], positionals[1])
     elif cmd == "modelsize":
         cmd_modelsize(cfg)
     elif cmd == "pipeline":  # reference: Demo_Train_Test.py:283-303

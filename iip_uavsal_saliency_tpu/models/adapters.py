@@ -95,9 +95,20 @@ class ZooModelAdapter:
         )
 
 
-def build_adapted_model(name: str = "uavsal", **kwargs):
-    """Model (or adapter with the UAVSal interface) for any zoo name."""
+def build_adapted_model(name: str = "uavsal", filter_kwargs: bool = False,
+                        **kwargs):
+    """Model (or adapter with the UAVSal interface) for any zoo name.
+
+    `filter_kwargs=True` drops kwargs the variant doesn't declare (e.g. the
+    SpConv ablation has no time_dims, the stateless ones no bias_type) so
+    one config dict drives every zoo name — the Trainer and the inference
+    loader both go through this."""
     name = name.lower()
+    if filter_kwargs:
+        import dataclasses
+
+        fields = {f.name for f in dataclasses.fields(MODEL_ZOO[name])}
+        kwargs = {k: v for k, v in kwargs.items() if k in fields}
     model = build_model(name, **kwargs)
     if name == "uavsal":
         return model  # the native interface, no wrapping

@@ -53,26 +53,25 @@ def load_model_for_inference(
     num_stblock: int = 2,
     bias_type: Sequence[int] = (1, 1, 1),
     model_name: str = "uavsal",
+    st_type: str = "st",
 ):
     """Build the model + restore a checkpoint written by the Trainer (or by
     the torch converter in models/convert.py). `model_name` accepts any
     MODEL_ZOO name: ablation checkpoints load behind the same stateful
-    adapter the Trainer used, so `test` serves every variant."""
+    adapter the Trainer used, so `test` serves every variant. `st_type`
+    selects the ordering for uavsal_stblocks_type checkpoints."""
     if model_name.lower() == "uavsal":
         model = UAVSal(
             cnn_type=cnn_type, time_dims=time_dims,
             num_stblock=num_stblock, bias_type=bias_type,
         )
     else:
-        import dataclasses
+        from ..models import build_adapted_model
 
-        from ..models import MODEL_ZOO, build_adapted_model
-
-        want = dict(cnn_type=cnn_type, time_dims=time_dims,
-                    num_stblock=num_stblock, bias_type=bias_type)
-        fields = {f.name for f in dataclasses.fields(MODEL_ZOO[model_name.lower()])}
         model = build_adapted_model(
-            model_name, **{k: v for k, v in want.items() if k in fields}
+            model_name, filter_kwargs=True, cnn_type=cnn_type,
+            time_dims=time_dims, num_stblock=num_stblock,
+            bias_type=bias_type, st_type=st_type,
         )
     ckpt = load_checkpoint(model_path)
     variables = {"params": ckpt["params"], "batch_stats": ckpt["batch_stats"]}

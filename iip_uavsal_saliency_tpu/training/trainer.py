@@ -61,6 +61,7 @@ class TrainConfig:
     iosize: Tuple[int, int, int, int] = (360, 640, 45, 80)
     time_dims: int = 5
     num_stblock: int = 2
+    st_type: str = "st"  # uavsal_stblocks_type ordering (st/s2t/t2s/s_s2t)
     bias_type: Tuple[int, int, int] = (1, 1, 1)
     batch_size: int = 2          # clips per step (flattened into S, as reference)
     epochs: int = 20
@@ -146,21 +147,17 @@ class Trainer:
 
         shape_r, shape_c, shape_r_out, shape_c_out = config.iosize
         from ..models.adapters import build_adapted_model
-        from ..models.uavsal import MODEL_ZOO
 
-        # pass only the kwargs this zoo variant declares (e.g. the SpConv
-        # ablation has no time_dims, the stateless ones no bias_type)
-        want = dict(
+        # (multi-device meshes force the partitionable XLA TWA scan inside
+        # parallel.steps._partitionable_model — no per-caller gating needed)
+        self.model = build_adapted_model(
+            config.model_name,
+            filter_kwargs=True,  # variants keep only the kwargs they declare
             cnn_type=config.cnn_type,
             time_dims=config.time_dims,
             num_stblock=config.num_stblock,
+            st_type=config.st_type,
             bias_type=config.bias_type,
-        )
-        # (multi-device meshes force the partitionable XLA TWA scan inside
-        # parallel.steps._partitionable_model — no per-caller gating needed)
-        fields = {f.name for f in dataclasses.fields(MODEL_ZOO[config.model_name.lower()])}
-        self.model = build_adapted_model(
-            config.model_name, **{k: v for k, v in want.items() if k in fields}
         )
 
         self.gauss = (

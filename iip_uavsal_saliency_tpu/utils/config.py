@@ -34,6 +34,9 @@ class Config:
     iosize: Tuple[int, int, int, int] = (360, 640, 45, 80)
     time_dims: int = 5
     num_stblock: int = 2
+    # ST-block ordering for the uavsal_stblocks_type ablation: st / s2t /
+    # t2s / s_s2t (reference: model.py:708-758); other models ignore it
+    st_type: str = "st"
     bias_type: Tuple[int, int, int] = (1, 1, 1)
     batch_size: int = 2
     test_batch_size: int = 4

@@ -92,6 +92,42 @@ def test_config_remat_flag():
     assert TrainConfig(remat=True).remat is True
 
 
+def test_st_type_plumbs_to_model():
+    """--st_type reaches the uavsal_stblocks_type model through the shared
+    kwargs filter (round-3 verdict: it silently trained with the default)."""
+    from iip_uavsal_saliency_tpu.models import build_adapted_model
+
+    cfg = load_config(None, ["--st_type", "s2t"])
+    assert cfg.st_type == "s2t"
+
+    from iip_uavsal_saliency_tpu.training.trainer import TrainConfig
+
+    assert TrainConfig(st_type="t2s").st_type == "t2s"
+
+    adapter = build_adapted_model(
+        "uavsal_stblocks_type", filter_kwargs=True, cnn_type="mobilenet_v2",
+        time_dims=5, num_stblock=2, st_type="s2t", bias_type=(1, 1, 1),
+    )
+    assert adapter.model.st_type == "s2t"
+    # variants that don't declare a kwarg silently drop it instead of raising
+    adapter = build_adapted_model(
+        "uavsal_spconv", filter_kwargs=True, cnn_type="mobilenet_v2",
+        time_dims=5, num_stblock=2, st_type="s2t", bias_type=(1, 1, 1),
+    )
+    assert not hasattr(adapter.model, "time_dims")
+
+
+def test_convert_usage_errors():
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="usage: convert"):
+        main(["convert"])
+    with _pytest.raises(SystemExit, match="usage: convert"):
+        main(["convert", "only_one.pth"])
+    with _pytest.raises(SystemExit, match="not found"):
+        main(["convert", "/nonexistent/ref.pth", "/tmp/out.ckpt"])
+
+
 def test_load_config_missing_file_errors():
     import pytest as _pytest
 

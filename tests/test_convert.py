@@ -53,6 +53,34 @@ def test_converted_variables_run_forward(uavsal_small):
     np.testing.assert_allclose(np.asarray(y), np.asarray(y0), rtol=1e-6)
 
 
+def test_cli_convert_end_to_end(uavsal_small, tmp_path):
+    """`convert ref.pth out.ckpt` CLI: a torch-saved reference-layout
+    state_dict converts to a checkpoint that load_model_for_inference
+    restores bit-identically (reference user flow: README.md:42-44 download
+    UAVSal_*.pth -> Demo_Test.py:33-39 torch.load().state_dict())."""
+    torch = pytest.importorskip("torch")
+
+    from iip_uavsal_saliency_tpu.cli import main
+    from iip_uavsal_saliency_tpu.training.checkpoint import load_checkpoint
+
+    _, variables, _ = uavsal_small
+    sd = export_uavsal_state_dict(variables)
+    src = str(tmp_path / "UAVSal_ref.pth")
+    torch.save({k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()}, src)
+    dst = str(tmp_path / "uavsal.ckpt")
+
+    assert main(["convert", src, dst, "--model_name", "uavsal"]) == 0
+
+    ckpt = load_checkpoint(dst)
+    got = _tree_paths({"params": ckpt["params"], "batch_stats": ckpt["batch_stats"]})
+    want = _tree_paths(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]}
+    )
+    assert set(got) == set(want)
+    for k in want:
+        np.testing.assert_array_equal(got[k], want[k], err_msg=k)
+
+
 def test_backbone_converter_shapes(uavsal_small):
     """A synthetic torchvision-style mobilenet_v2 state_dict converts into the
     expected stage tree (features.0 stem + 17 inverted residuals)."""
