@@ -156,6 +156,7 @@ def cmd_test(cfg: Config):
         bias_type=cfg.bias_type,
         model_name=cfg.model_name,
         st_type=cfg.st_type,
+        fold_bn=cfg.fold_bn,
     )
     import jax.numpy as jnp
 

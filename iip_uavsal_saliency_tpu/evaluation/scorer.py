@@ -235,31 +235,22 @@ def build_shuffle_map(fixs_dir: str, dataset: str = "", size=None, maxframes: fl
     return shufmap
 
 
-def _score_video(salmap, fixmap, fixpts, all_fix_pts, keys_order, batch_size, rng,
-                 fixed_shufmap=None, device_auc: bool = True):
-    """(T, len(keys)) score matrix for one video. `fixed_shufmap`: use one
-    dataset-wide sAUC negative map instead of per-frame samples.
-    `device_auc`: run AUC-Borji/shuffled batched on device (host samples
-    only the negative indices); False keeps the reference-shaped host path."""
+def _prep_video(salmap, fixmap, fixpts):
+    """Host prep shared by the eval drivers: align frame counts and bring the
+    salmap to GT resolution. Returns (sal, gt_map, gt_pts, nframes) in
+    (T, H, W) layout — run on the prefetch thread (cv2 releases the GIL) so
+    video n+1 preps while video n scores.
+
+    Resize in the INPUT dtype (reference: utils_score_torch.py:529-536): the
+    reference resizes the uint8 frames, so cv2 rounds the interpolated
+    values back to uint8 — resizing in float keeps ~0.001 more NSS/CC
+    precision but diverges from every score the reference pipeline ever
+    published (pinned by the eval-driver golden test)."""
     import cv2
 
     nframes = min(salmap.shape[3], fixpts.shape[3], fixmap.shape[3])
     if nframes == 0:
-        # runners/infer.py writes an EMPTY salmap for videos shorter than
-        # time_dims; score it as one all-NaN row (the degenerate-frame rule
-        # below) so mean_scores' nanmean skips the video instead of the
-        # whole eval run crashing on an empty concatenate
-        return np.full((1, len(keys_order)), np.nan)
-    scores = np.zeros((nframes, len(keys_order)))
-
-    # salmap -> GT resolution if needed (reference: utils_score_torch.py:529-536).
-    # Resize in the INPUT dtype: the reference resizes the uint8 frames, so
-    # cv2 rounds the interpolated values back to uint8 — resizing in float
-    # keeps ~0.001 more NSS/CC precision but diverges from every score the
-    # reference pipeline ever published (pinned by the eval-driver golden
-    # test). Every metric is scale-invariant (sum-/std-normalized or
-    # rank-based), so uint8 inputs ship to the device as uint8 (4x less
-    # transfer) and convert to f32 on-chip.
+        return None, None, None, 0
     if salmap.shape[:2] != fixmap.shape[:2]:
         sal = np.stack(
             [
@@ -269,10 +260,33 @@ def _score_video(salmap, fixmap, fixpts, all_fix_pts, keys_order, batch_size, rn
         )
     else:
         sal = np.ascontiguousarray(salmap[:, :, 0, :nframes].transpose(2, 0, 1))
-
     gt_map = np.ascontiguousarray(fixmap[:, :, 0, :nframes].transpose(2, 0, 1))
     gt_pts = np.ascontiguousarray(fixpts[:, :, 0, :nframes].transpose(2, 0, 1))
+    return sal, gt_map, gt_pts, nframes
 
+
+def _score_video(salmap, fixmap, fixpts, all_fix_pts, keys_order, batch_size, rng,
+                 fixed_shufmap=None, device_auc: bool = True, prepped=None):
+    """(T, len(keys)) score matrix for one video. `fixed_shufmap`: use one
+    dataset-wide sAUC negative map instead of per-frame samples.
+    `device_auc`: run AUC-Borji/shuffled batched on device (host samples
+    only the negative indices); False keeps the reference-shaped host path.
+    `prepped`: the _prep_video result when the caller already ran it on a
+    prefetch thread (salmap/fixmap/fixpts are then ignored)."""
+    sal, gt_map, gt_pts, nframes = (
+        prepped if prepped is not None else _prep_video(salmap, fixmap, fixpts)
+    )
+    if nframes == 0:
+        # runners/infer.py writes an EMPTY salmap for videos shorter than
+        # time_dims; score it as one all-NaN row (the degenerate-frame rule
+        # below) so mean_scores' nanmean skips the video instead of the
+        # whole eval run crashing on an empty concatenate
+        return np.full((1, len(keys_order)), np.nan)
+    scores = np.zeros((nframes, len(keys_order)))
+
+    # Every metric is scale-invariant (sum-/std-normalized or rank-based),
+    # so uint8 inputs ship to the device as uint8 (4x less transfer) and
+    # convert to f32 on-chip.
     pred = sal[..., None]
     true = np.stack([gt_map, gt_pts], axis=-1)  # numpy promotion handles dtypes
 
@@ -294,22 +308,24 @@ def _score_video(salmap, fixmap, fixpts, all_fix_pts, keys_order, batch_size, rn
         return a if pad <= 0 else np.concatenate([a, np.repeat(a[-1:], pad, 0)])
 
     kl, cc, nss, sim, aucj, borji, shuf = [], [], [], [], [], [], []
-    for b in range(0, nframes, batch_size):
+
+    # Depth-2 software pipeline over frame batches: dispatch is async, so
+    # while the device crunches batch k, the host samples batch k+1's
+    # negative indices (the sAUC per-frame shufmaps are the expensive part)
+    # and ships its tensors; batch k's small score vectors are collected one
+    # step late. The rng draw ORDER is identical to the sequential loop
+    # (all of batch k's draws precede batch k+1's), so seeded score
+    # trajectories stay bit-stable (pinned by the golden eval-driver test).
+    def _dispatch(b):
         n_act = min(batch_size, nframes - b)
         p = jnp.asarray(_pad_to_batch(pred[b : b + batch_size]))
         t = jnp.asarray(_pad_to_batch(true[b : b + batch_size]))
         r = _device_metrics(p, t, _jitter_key(rng))
-        kl.append(np.asarray(r[0])[:n_act])
-        cc.append(np.asarray(r[1])[:n_act])
-        nss.append(np.asarray(r[2])[:n_act])
-        sim.append(np.asarray(r[3])[:n_act])
-        aucj.append(np.asarray(r[4])[:n_act])
+        job = {"r": r, "n": n_act}
         pts_b = _pad_to_batch(gt_pts[b : b + batch_size])
         if need_borji:
             idx, nv = _borji_neg_idx(pts_b, n_pix, 100, rng)
-            borji.append(np.asarray(
-                _device_auc_sweep(p, t, jnp.asarray(idx), jnp.asarray(nv))
-            )[:n_act])
+            job["borji"] = _device_auc_sweep(p, t, jnp.asarray(idx), jnp.asarray(nv))
         if need_shuf:
             shuf_inds = [
                 fixed_shuf_ind
@@ -318,9 +334,30 @@ def _score_video(salmap, fixmap, fixpts, all_fix_pts, keys_order, batch_size, rn
                 for _ in range(len(pts_b))
             ]
             idx, nv = _shuffled_neg_idx(pts_b, shuf_inds, 100, rng)
-            shuf.append(np.asarray(
-                _device_auc_sweep(p, t, jnp.asarray(idx), jnp.asarray(nv))
-            )[:n_act])
+            job["shuf"] = _device_auc_sweep(p, t, jnp.asarray(idx), jnp.asarray(nv))
+        return job
+
+    def _collect(job):
+        n_act = job["n"]
+        r = job["r"]
+        kl.append(np.asarray(r[0])[:n_act])
+        cc.append(np.asarray(r[1])[:n_act])
+        nss.append(np.asarray(r[2])[:n_act])
+        sim.append(np.asarray(r[3])[:n_act])
+        aucj.append(np.asarray(r[4])[:n_act])
+        if need_borji:
+            borji.append(np.asarray(job["borji"])[:n_act])
+        if need_shuf:
+            shuf.append(np.asarray(job["shuf"])[:n_act])
+
+    pending = None
+    for b in range(0, nframes, batch_size):
+        job = _dispatch(b)
+        if pending is not None:
+            _collect(pending)
+        pending = job
+    if pending is not None:
+        _collect(pending)
     device_vals = {
         "KLD": np.concatenate(kl),
         "CC": np.concatenate(cc),
@@ -358,6 +395,31 @@ def _score_video(salmap, fixmap, fixpts, all_fix_pts, keys_order, batch_size, rn
     return scores
 
 
+def _prefetch_videos(sal_names, salmap_dir, maps_dir, fixs_dir):
+    """Yield (file_name, prepped, gt_hw) with one-video lookahead: video n+1's
+    three .mat loads + GT-resolution resize (_prep_video, cv2 releases the
+    GIL) run on a worker thread while video n scores on the device — the
+    same ship/compute/drain overlap structure as runners/infer.test_videos.
+    No rng is touched here, so seeded score trajectories are unchanged."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def load(name):
+        file_name = name[:-4]
+        salmap = loadmat(os.path.join(salmap_dir, name), "salmap")
+        fixmap = loadmat(os.path.join(maps_dir, file_name + "_fixMaps.mat"), "fixMap")
+        fixpts = loadmat(os.path.join(fixs_dir, file_name + "_fixPts.mat"), "fixLoc")
+        return file_name, _prep_video(salmap, fixmap, fixpts), fixpts.shape[:2]
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        future = pool.submit(load, sal_names[0]) if sal_names else None
+        for i in range(len(sal_names)):
+            item = future.result()
+            future = (
+                pool.submit(load, sal_names[i + 1]) if i + 1 < len(sal_names) else None
+            )
+            yield item
+
+
 def evalscores_vid(
     root_dir: str,
     sal_dir: str,
@@ -368,7 +430,12 @@ def evalscores_vid(
     rng: Optional[np.random.RandomState] = None,
     device_auc: bool = True,
 ) -> None:
-    """Main eval driver (reference: utils_score_torch.py:473-582)."""
+    """Main eval driver (reference: utils_score_torch.py:473-582).
+
+    3-stage pipelined: .mat decode + GT resize of video n+1 prefetch on a
+    worker thread (_prefetch_videos), device metric batches double-buffered
+    against host negative-index sampling (_score_video), score write-back
+    inline (small)."""
     rng = rng or np.random.RandomState()
     maps_dir = os.path.join(root_dir, "maps")
     fixs_dir = os.path.join(root_dir, "fixations", "maps")
@@ -391,22 +458,23 @@ def evalscores_vid(
         iscore_dir = os.path.join(score_dir, method)
         os.makedirs(iscore_dir, exist_ok=True)
         salmap_dir = os.path.join(sals_dir, method)
-        sal_names = sorted(f for f in os.listdir(salmap_dir) if f.endswith(".mat"))
-
-        for n_idx, name in enumerate(sal_names):
-            file_name = name[:-4]
-            iscore_path = os.path.join(iscore_dir, f"Score_{file_name}.mat")
-            if os.path.exists(iscore_path):  # resume (reference :515-519)
-                continue
-            t0 = time.time()
-            salmap = loadmat(os.path.join(salmap_dir, name), "salmap")
-            fixmap = loadmat(os.path.join(maps_dir, file_name + "_fixMaps.mat"), "fixMap")
-            fixpts = loadmat(os.path.join(fixs_dir, file_name + "_fixPts.mat"), "fixLoc")
-            iscores = _score_video(
-                salmap, fixmap, fixpts, all_fix_pts, keys_order, batch_size, rng,
-                device_auc=device_auc,
+        sal_names = [  # resume-skip upfront (reference :515-519)
+            f for f in sorted(os.listdir(salmap_dir)) if f.endswith(".mat")
+            and not os.path.exists(
+                os.path.join(iscore_dir, f"Score_{f[:-4]}.mat")
             )
-            savemat(iscore_path, {"iscore": iscores})
+        ]
+
+        for n_idx, (file_name, prepped, _) in enumerate(
+            _prefetch_videos(sal_names, salmap_dir, maps_dir, fixs_dir)
+        ):
+            t0 = time.time()
+            iscores = _score_video(
+                None, None, None, all_fix_pts, keys_order, batch_size, rng,
+                device_auc=device_auc, prepped=prepped,
+            )
+            savemat(os.path.join(iscore_dir, f"Score_{file_name}.mat"),
+                    {"iscore": iscores})
             log.info(
                 "%d/%d %s: %d frames %.2fs", n_idx + 1, len(sal_names), file_name,
                 iscores.shape[0], time.time() - t0,
@@ -447,25 +515,26 @@ def evalscores_vid_sum(
         iscore_dir = os.path.join(score_dir, method)
         os.makedirs(iscore_dir, exist_ok=True)
         salmap_dir = os.path.join(sals_dir, method)
-        sal_names = sorted(f for f in os.listdir(salmap_dir) if f.endswith(".mat"))
-
-        for n_idx, name in enumerate(sal_names):
-            file_name = name[:-4]
-            iscore_path = os.path.join(iscore_dir, f"Score_{file_name}.mat")
-            if os.path.exists(iscore_path):
-                continue
-            t0 = time.time()
-            salmap = loadmat(os.path.join(salmap_dir, name), "salmap")
-            fixmap = loadmat(os.path.join(maps_dir, file_name + "_fixMaps.mat"), "fixMap")
-            fixpts = loadmat(os.path.join(fixs_dir, file_name + "_fixPts.mat"), "fixLoc")
-            ishufmap = shufmap
-            if ishufmap is not None and ishufmap.shape != fixpts.shape[:2]:
-                ishufmap = resize_fixation(ishufmap, fixpts.shape[0], fixpts.shape[1])
-            iscores = _score_video(
-                salmap, fixmap, fixpts, [], keys_order, batch_size, rng,
-                fixed_shufmap=ishufmap, device_auc=device_auc,
+        sal_names = [
+            f for f in sorted(os.listdir(salmap_dir)) if f.endswith(".mat")
+            and not os.path.exists(
+                os.path.join(iscore_dir, f"Score_{f[:-4]}.mat")
             )
-            savemat(iscore_path, {"iscore": iscores})
+        ]
+
+        for n_idx, (file_name, prepped, gt_hw) in enumerate(
+            _prefetch_videos(sal_names, salmap_dir, maps_dir, fixs_dir)
+        ):
+            t0 = time.time()
+            ishufmap = shufmap
+            if ishufmap is not None and ishufmap.shape != tuple(gt_hw):
+                ishufmap = resize_fixation(ishufmap, gt_hw[0], gt_hw[1])
+            iscores = _score_video(
+                None, None, None, [], keys_order, batch_size, rng,
+                fixed_shufmap=ishufmap, device_auc=device_auc, prepped=prepped,
+            )
+            savemat(os.path.join(iscore_dir, f"Score_{file_name}.mat"),
+                    {"iscore": iscores})
             log.info(
                 "%d/%d %s: %d frames %.2fs", n_idx + 1, len(sal_names), file_name,
                 iscores.shape[0], time.time() - t0,

@@ -74,8 +74,18 @@ class TorchBatchNorm(nn.Module):
         # stats in at-least-f32 (as flax promotes); f64 under enable_x64
         stat_dtype = jnp.promote_types(x.dtype, jnp.float32)
         if self.use_running_average:
-            mean = ra_mean.value.astype(stat_dtype)
-            var = ra_var.value.astype(stat_dtype)
+            # Eval: precompute the per-channel affine s/b in f32 (C-vector
+            # math, free) and apply in the COMPUTE dtype — torch's own eval
+            # kernel does exactly this (alpha/beta in batch_norm_cpu), and
+            # it avoids upcasting the whole activation tensor to f32 in the
+            # bf16 serving path, which measured 8.9% of step time at
+            # 360x640 S=80 (docs/PERF.md "eval-BN affine").
+            s = scale.astype(stat_dtype) * lax.rsqrt(
+                ra_var.value.astype(stat_dtype) + self.epsilon
+            )
+            b = bias.astype(stat_dtype) - ra_mean.value.astype(stat_dtype) * s
+            y = x * s.astype(x.dtype) + b.astype(x.dtype)
+            return y.astype(out_dtype)
         else:
             red = tuple(range(x.ndim - 1))
             xf = x.astype(stat_dtype)

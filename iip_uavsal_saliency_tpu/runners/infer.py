@@ -54,12 +54,18 @@ def load_model_for_inference(
     bias_type: Sequence[int] = (1, 1, 1),
     model_name: str = "uavsal",
     st_type: str = "st",
+    fold_bn: bool = True,
 ):
     """Build the model + restore a checkpoint written by the Trainer (or by
     the torch converter in models/convert.py). `model_name` accepts any
     MODEL_ZOO name: ablation checkpoints load behind the same stateful
     adapter the Trainer used, so `test` serves every variant. `st_type`
-    selects the ordering for uavsal_stblocks_type checkpoints."""
+    selects the ordering for uavsal_stblocks_type checkpoints.
+
+    `fold_bn` (default on) folds every eval-mode BatchNorm into its conv at
+    load time (ops/fold.fold_batchnorm): same tree structure, identical
+    outputs to ~1e-5 in f32, and the serving graph's BN math degenerates to
+    an add. Serving-only — pass the raw checkpoint to the Trainer instead."""
     if model_name.lower() == "uavsal":
         model = UAVSal(
             cnn_type=cnn_type, time_dims=time_dims,
@@ -75,6 +81,10 @@ def load_model_for_inference(
         )
     ckpt = load_checkpoint(model_path)
     variables = {"params": ckpt["params"], "batch_stats": ckpt["batch_stats"]}
+    if fold_bn:
+        from ..ops.fold import fold_batchnorm
+
+        variables = fold_batchnorm(variables)
     return model, variables
 
 

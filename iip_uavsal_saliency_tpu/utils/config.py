@@ -56,6 +56,7 @@ class Config:
     prefetch_decode: bool = True  # train: decode video k+1 while k steps
     videos_per_batch: int = 1  # >1: batched multi-video inference
     serve_bf16: bool = True    # bf16 serving path for `test` (f32: parity)
+    fold_bn: bool = True       # fold eval BN into convs at serving load
     # AUC-Borji/shuffled on device (False: host path). None = default: device
     # for video eval (measured 5.5x), auto-probe for image eval (the relay
     # RTT makes batched image shipping a regression — scorer.device_dispatch_ms)

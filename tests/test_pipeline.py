@@ -533,6 +533,56 @@ def test_infer_ragged_final_group(trained, video_dataset, tmp_path_factory):
         assert sal.max() == 255
 
 
+def test_bf16_serving_metric_parity(trained, video_dataset, tmp_path_factory):
+    """The DEFAULT serving path (serve_bf16=True + fold_bn=True, the exact
+    config `cli test` runs) must hold the accuracy north star at the METRIC
+    level: CC/NSS/SIM within 1% of the f32 reference path on the same videos
+    (BASELINE.md tolerance; reference eval driver:
+    utils_score_torch.py:473-582). This welds the FPS headline (measured on
+    the bf16 path) to the accuracy claim (previously only tested in f32) —
+    it fails if the default serving path ever drifts past the tolerance.
+
+    On CPU the bf16 path runs the XLA TWA scan; the TPU Pallas kernel's
+    equivalence to that scan is pinned separately (tests/test_pallas_twa.py)
+    and the TPU-measured deltas are recorded in docs/PARITY.md."""
+    trainer, state, final = trained
+    res_dir = str(tmp_path_factory.mktemp("ResultsBF16"))
+    out_path = os.path.join(res_dir, "Saliency")
+    from iip_uavsal_saliency_tpu.runners.infer import load_model_for_inference
+
+    common = dict(
+        iosize=IOSIZE, batch_size=1, time_dims=TIME_DIMS, bias_type=(1, 0, 1),
+    )
+    # f32 reference leg: raw (unfolded) checkpoint, f32 compute
+    model32, vars32 = load_model_for_inference(
+        final, time_dims=TIME_DIMS, bias_type=(1, 0, 1), fold_bn=False
+    )
+    run_test_videos(video_dataset + "/Videos", out_path, model32, vars32,
+                    method_name="F32", **common)
+    # default serving leg: folded + bf16 (what cmd_test builds)
+    model16, vars16 = load_model_for_inference(
+        final, time_dims=TIME_DIMS, bias_type=(1, 0, 1), fold_bn=True
+    )
+    run_test_videos(video_dataset + "/Videos", out_path, model16, vars16,
+                    method_name="BF16", compute_dtype=jnp.bfloat16, **common)
+
+    # deterministic metrics only (CC/NSS/SIM/KLD need no random negatives)
+    keys = ["NSS", "KLD", "SIM", "CC"]
+    evalscores_vid(video_dataset, res_dir, "UAV2", ["F32", "BF16"],
+                   keys_order=keys, batch_size=4, rng=np.random.RandomState(0))
+    means = mean_scores(res_dir, ["F32", "BF16"], keys_order=keys, save=False)
+
+    # |delta| <= max(1% relative, an absolute floor for the near-zero values
+    # synthetic GT produces — on real data CC~0.6 makes 1% the binding term)
+    floors = {"CC": 0.01, "SIM": 0.01, "NSS": 0.05, "KLD": 0.05}
+    for k in keys:
+        a, b = means["F32"][k], means["BF16"][k]
+        tol = max(0.01 * abs(a), floors[k])
+        assert abs(a - b) <= tol, (
+            f"{k}: f32={a:.4f} bf16={b:.4f} |delta|={abs(a - b):.4f} > {tol:.4f}"
+        )
+
+
 def test_infer_zoo_checkpoint(video_dataset, tmp_path_factory):
     """`test` must serve zoo-variant checkpoints: load_model_for_inference
     builds the named MODEL_ZOO class behind the stateful adapter (it used to
