@@ -33,6 +33,9 @@ _CACHE_DIR = os.path.join(os.path.dirname(__file__), os.pardir, ".jax_cache")
 jax.config.update("jax_compilation_cache_dir", os.path.abspath(_CACHE_DIR))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# custom_partitioning serializes a Python pointer into modules; strip it so
+# test-suite cache entries hit across processes/sessions
+jax.config.update("jax_remove_custom_partitioning_ptr_from_cache_key", True)
 
 
 # Canonical small UAVSal instance shared by model/convert/sharding tests.

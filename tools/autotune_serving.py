@@ -13,11 +13,19 @@ returns early through the axon relay), best-of-N repeats (stalls only add
 time). Run tools/relay_health.py first; numbers taken during a relay
 program-load stall are garbage.
 
+Also sweeps the V axis (`--video-candidates 1,2,4`): V videos stream in
+lock-step through the model's batch dimension; aggregate chip throughput can
+beat V=1 when per-step fixed costs dominate, at the price of per-stream
+latency. The winner is the (clips, videos) pair with the highest aggregate
+FPS.
+
 Usage:
     python tools/autotune_serving.py [--candidates 4,8,16,32]
-        [--height 360] [--width 640] [--dtype bf16] [--steps 12]
+        [--video-candidates 1,2,4] [--height 360] [--width 640]
+        [--dtype bf16] [--steps 12]
 
-Prints one JSON line: {"best_clips": N, "best_fps": F, "results": {...}}.
+Prints one JSON line:
+  {"best_clips": N, "best_videos": V, "best_fps": F, "results": {...}}.
 """
 
 from __future__ import annotations
@@ -83,6 +91,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--candidates", default="4,8,16,32",
                     help="comma-separated clips-per-step values to sweep")
+    ap.add_argument("--video-candidates", default="1",
+                    help="comma-separated V (parallel videos) values to sweep")
     ap.add_argument("--height", type=int, default=360)
     ap.add_argument("--width", type=int, default=640)
     ap.add_argument("--time-dims", type=int, default=5)
@@ -122,20 +132,26 @@ def main():
         )(variables)
 
     results = {}
-    for clips in [int(c) for c in args.candidates.split(",")]:
-        r = measure_streaming(
-            model, variables, h, w, clips, t, args.videos,
-            args.steps, args.repeats, compute_dtype,
-        )
-        results[clips] = r
-        print(f"clips={clips:3d} (S={clips * t:4d}): {r['fps']:7.1f} FPS  "
-              f"{r['ms_per_step']:7.2f} ms/step", file=sys.stderr, flush=True)
+    for videos in [int(v) for v in args.video_candidates.split(",")]:
+        for clips in [int(c) for c in args.candidates.split(",")]:
+            r = measure_streaming(
+                model, variables, h, w, clips, t, videos,
+                args.steps, args.repeats, compute_dtype,
+            )
+            r["videos"] = videos
+            results[f"c{clips}_v{videos}"] = r
+            print(
+                f"clips={clips:3d} V={videos} (S={clips * t:4d}): "
+                f"{r['fps']:7.1f} FPS  {r['ms_per_step']:7.2f} ms/step",
+                file=sys.stderr, flush=True,
+            )
 
     best = max(results.values(), key=lambda r: r["fps"])
     print(json.dumps({
         "best_clips": best["clips"],
+        "best_videos": best["videos"],
         "best_fps": best["fps"],
-        "results": {str(k): v for k, v in results.items()},
+        "results": results,
     }))
 
 
