@@ -108,9 +108,13 @@ def test_videos(
     """Run saliency prediction over every video in `input_path`.
 
     `videos_per_batch > 1` streams V videos in lock-step through the model's
-    V axis (bench: +~20% chip throughput at V=4); shorter videos in a group
-    are right-padded with repeated frames and their padding sliced off on
-    the host. `compute_dtype=jnp.bfloat16` selects the bf16 serving path.
+    V axis. At the tuned S=80 serving shape this is NOT an aggregate-FPS win
+    (measured V=1/2/4/8 -> 1337/1268/1319/1344 FPS streaming, docs/PERF.md
+    round 4): its value is amortizing HOST-side work — one decode prefetch,
+    one clip-build, and one dispatch serve V videos — and filling the chip
+    at small S. Shorter videos in a group are right-padded with repeated
+    frames and their padding sliced off on the host.
+    `compute_dtype=jnp.bfloat16` selects the bf16 serving path.
     """
     if method_name:
         output_path = os.path.join(output_path, method_name)
