@@ -252,6 +252,31 @@ def test_read_frames_header_is_hint_not_bound(header):
     np.testing.assert_array_equal(got, np.stack(frames))
 
 
+def test_read_frames_overcount_releases_base_buffer():
+    """A 2x+ overcounting header must not pin the hint-sized allocation:
+    the returned array owns its memory (copy), and a corrupt header claiming
+    billions of frames is capped at ~4 GiB of prealloc (real frames past the
+    cap land in the tail-append path, so nothing is dropped)."""
+    from iip_uavsal_saliency_tpu.data.video import _read_frames
+
+    frames = [np.full((4, 6, 3), i, np.uint8) for i in range(3)]
+    got, n = _read_frames(_FakeCap(frames, 100), float("inf"), lambda f: f)
+    assert n == 3 and got.shape == (3, 4, 6, 3)
+    np.testing.assert_array_equal(got, np.stack(frames))
+    assert got.base is None, "trimmed view would pin the 100-frame buffer"
+
+    # corrupt huge header: prealloc capped (would be ~70 TB otherwise), all
+    # real frames still decoded
+    got, n = _read_frames(_FakeCap(frames, 10**9), float("inf"), lambda f: f)
+    assert n == 3 and got.shape[0] == 3
+    np.testing.assert_array_equal(got, np.stack(frames))
+
+    # undercounting header still grows via the tail-append path
+    frames8 = [np.full((1, 1, 3), i, np.uint8) for i in range(8)]
+    got, n = _read_frames(_FakeCap(frames8, 6), float("inf"), lambda f: f)
+    assert n == 8 and got.shape[0] == 8
+
+
 def test_read_frames_respects_max_frames_and_empty():
     from iip_uavsal_saliency_tpu.data.video import _read_frames
 

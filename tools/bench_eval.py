@@ -31,6 +31,9 @@ def main():
     ap.add_argument("--batch-size", type=int, default=32)
     ap.add_argument("--keys", choices=["all", "det"], default="all",
                     help="all 7 metrics, or only the deterministic 4")
+    ap.add_argument("--repeats", type=int, default=3,
+                    help="warm repeats; BEST is reported (relay stalls only "
+                         "ever add time — bench.py methodology)")
     args = ap.parse_args()
 
     import jax
@@ -87,15 +90,19 @@ def main():
         print(f"{frames} frames x {len(keys)} metrics at {h}x{w}: "
               f"{dt:.1f}s -> {frames / dt:.1f} frames/sec (incl. compile on "
               f"first run; re-run for warm numbers)", file=sys.stderr)
-        # second timed run on a fresh score dir (warm programs)
+        # warm repeats on a fresh score dir each time; BEST reported
         import shutil
 
-        shutil.rmtree(os.path.join(res, "Scores"))
-        t0 = time.time()
-        evalscores_vid(root, res, "DS", ["M"], keys_order=keys,
-                       batch_size=args.batch_size, rng=np.random.RandomState(0))
-        dt = time.time() - t0
-        print(f"warm: {frames} frames in {dt:.1f}s -> {frames / dt:.1f} frames/sec")
+        best = float("inf")
+        for _ in range(max(1, args.repeats)):
+            shutil.rmtree(os.path.join(res, "Scores"))
+            t0 = time.time()
+            evalscores_vid(root, res, "DS", ["M"], keys_order=keys,
+                           batch_size=args.batch_size,
+                           rng=np.random.RandomState(0))
+            best = min(best, time.time() - t0)
+        print(f"warm best: {frames} frames in {best:.1f}s -> "
+              f"{frames / best:.1f} frames/sec")
 
 
 if __name__ == "__main__":
