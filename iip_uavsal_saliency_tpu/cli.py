@@ -7,6 +7,7 @@ the shared dataclass config (utils/config.py) instead of per-script global
 blocks.
 
     python -m iip_uavsal_saliency_tpu train      [--config cfg.json] [--key value ...]
+                                                 [--dp_devices N]  # multi-chip DP
     python -m iip_uavsal_saliency_tpu train-img  # SALICON SRF-Net pretraining
     python -m iip_uavsal_saliency_tpu test       [--model-path ...]
     python -m iip_uavsal_saliency_tpu eval       [--methods A,B]
@@ -75,6 +76,25 @@ def _split_cli(argv: Sequence[str], cmd: str = "vis"):
     return cfg_path, methods, vis_opts, rest
 
 
+def _dp_mesh(cfg: Config):
+    """Pure-'data' mesh over the first dp_devices local devices (or None).
+    Multi-chip data parallelism for both training (videos_per_step shards)
+    and serving (videos_per_batch shards via shard_map) — a capability the
+    reference lacks entirely (it pins one GPU, Demo_Train_Test.py:7)."""
+    if cfg.dp_devices <= 1:
+        return None
+    import jax
+
+    from .parallel.mesh import make_mesh
+
+    n_dev = len(jax.devices())
+    if cfg.dp_devices > n_dev:
+        raise SystemExit(
+            f"--dp_devices {cfg.dp_devices} but only {n_dev} devices visible"
+        )
+    return make_mesh(n_data=cfg.dp_devices, devices=jax.devices()[: cfg.dp_devices])
+
+
 def cmd_train(cfg: Config):
     from .training.trainer import TrainConfig, Trainer
 
@@ -115,6 +135,7 @@ def cmd_train(cfg: Config):
         ext=cfg.ext,
         pre_variables=pre_vars,
         priors_cache_dir=cfg.priors_cache_dir,
+        mesh=_dp_mesh(cfg),
     )
     trainer.train()
 
@@ -175,6 +196,7 @@ def cmd_test(cfg: Config):
         method_name=cfg.method_name,
         videos_per_batch=cfg.videos_per_batch,
         compute_dtype=jnp.bfloat16 if cfg.serve_bf16 else None,
+        mesh=_dp_mesh(cfg),
     )
 
 

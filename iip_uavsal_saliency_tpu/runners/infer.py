@@ -104,6 +104,7 @@ def test_videos(
     method_name: Optional[str] = None,
     videos_per_batch: int = 1,
     compute_dtype=None,
+    mesh=None,
 ) -> None:
     """Run saliency prediction over every video in `input_path`.
 
@@ -115,6 +116,12 @@ def test_videos(
     at small S. Shorter videos in a group are right-padded with repeated
     frames and their padding sliced off on the host.
     `compute_dtype=jnp.bfloat16` selects the bf16 serving path.
+
+    `mesh`: a jax Mesh for MULTI-CHIP serving — a pure-'data' mesh shards
+    the V axis over chips via make_infer_step's shard_map branch (each chip
+    runs the complete single-device program on its own videos, zero
+    collectives; the fused Pallas TWA kernel runs unmodified per chip).
+    Requires videos_per_batch % mesh.shape['data'] == 0. CLI: --dp_devices.
     """
     if method_name:
         output_path = os.path.join(output_path, method_name)
@@ -141,7 +148,29 @@ def test_videos(
         )
         gauss, ob = cast(gauss), cast(ob)
 
-    infer_step = make_infer_step(model, compute_dtype=compute_dtype, donate_state=True)
+    v_per = max(1, videos_per_batch)
+    x_sharding = state_sharding = None
+    if mesh is not None:
+        n_data = dict(mesh.shape).get("data", 1)
+        if v_per % max(n_data, 1):
+            raise ValueError(
+                f"videos_per_batch={v_per} must be a multiple of the mesh "
+                f"'data' axis ({n_data}) so the video batch shards evenly"
+            )
+        from ..parallel.mesh import data_sharding, replicated
+        from ..parallel.steps import _state_sharding
+
+        x_sharding = data_sharding(mesh, 5)
+        state_sharding = _state_sharding(model, mesh)
+        rep = replicated(mesh)
+        # params/priors replicate once up front; clips/state are placed per
+        # step below so the shard_map program never reshards on the fly
+        variables = jax.device_put(variables, rep)
+        gauss = None if gauss is None else jax.device_put(gauss, rep)
+        ob = None if ob is None else jax.device_put(ob, rep)
+
+    infer_step = make_infer_step(model, mesh=mesh, compute_dtype=compute_dtype,
+                                 donate_state=True)
     params, batch_stats = variables["params"], variables.get("batch_stats", {})
 
     file_names = [
@@ -150,7 +179,6 @@ def test_videos(
         and not os.path.exists(os.path.join(output_path, os.path.splitext(f)[0] + ".mat"))
     ]
     s = batch_size * time_dims
-    v_per = max(1, videos_per_batch)
 
     def _decode_group(group):
         decoded = []
@@ -206,6 +234,8 @@ def test_videos(
             state = model.init_state(shape_r, shape_c, v)
             if compute_dtype is not None:
                 state = state.astype(compute_dtype)
+            if state_sharding is not None:
+                state = jax.device_put(state, state_sharding)
             sals = [
                 np.zeros((d[2], shape_r_out, shape_c_out), np.float32) for d in decoded
             ]
@@ -234,14 +264,18 @@ def test_videos(
 
             # 3-stage pipeline: ship k+1 and drain k-1 while k computes
             starts = list(range(0, max_total, s))
-            next_clip = jax.device_put(build_clip(starts[0])) if starts else None
+            # device_put(x, None) == default placement, so x_sharding routes
+            # both the single-chip and the mesh-sharded path
+            next_clip = (
+                jax.device_put(build_clip(starts[0]), x_sharding) if starts else None
+            )
             pending = None  # (device saliency, start) of the previous step
             for k, start in enumerate(starts):
                 out_dev, state = infer_step(
                     params, batch_stats, next_clip, gauss, ob, state
                 )  # async dispatch: returns immediately
                 if k + 1 < len(starts):
-                    next_clip = jax.device_put(build_clip(starts[k + 1]))
+                    next_clip = jax.device_put(build_clip(starts[k + 1]), x_sharding)
                 if pending is not None:
                     scatter(*pending)
                 pending = (out_dev, start)

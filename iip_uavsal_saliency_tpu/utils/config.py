@@ -55,6 +55,9 @@ class Config:
     remat: bool = False        # recompute fwd in bwd: larger clips per chip
     prefetch_decode: bool = True  # train: decode video k+1 while k steps
     videos_per_batch: int = 1  # >1: batched multi-video inference
+    # >1: data-parallel over N local devices — train shards videos_per_step,
+    # test shards videos_per_batch (both must be multiples of dp_devices)
+    dp_devices: int = 1
     serve_bf16: bool = True    # bf16 serving path for `test` (f32: parity)
     fold_bn: bool = True       # fold eval BN into convs at serving load
     # AUC-Borji/shuffled on device (False: host path). None = default: device

@@ -583,6 +583,50 @@ def test_bf16_serving_metric_parity(trained, video_dataset, tmp_path_factory):
         )
 
 
+def test_dp_serving_through_runner(trained, video_dataset, tmp_path_factory):
+    """Multi-chip DP serving through the PRODUCTION runner (the --dp_devices
+    CLI path): test_videos with a pure-'data' mesh shards the V axis over
+    devices via make_infer_step's shard_map branch and must write the same
+    salmaps as the single-device run (eval mode has no cross-video op, so
+    per-device programs compute the same math; uint8 outputs may differ by
+    float-rounding of at most one level)."""
+    import jax as _jax
+
+    from iip_uavsal_saliency_tpu.parallel.mesh import make_mesh
+
+    trainer, state, final = trained
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    common = dict(iosize=IOSIZE, batch_size=1, time_dims=TIME_DIMS,
+                  bias_type=(1, 0, 1), videos_per_batch=2)
+    out_sd = str(tmp_path_factory.mktemp("dp_sd"))
+    out_dp = str(tmp_path_factory.mktemp("dp_dp"))
+    run_test_videos(video_dataset + "/Videos", out_sd, trainer.model, variables,
+                    method_name="SD", **common)
+    mesh = make_mesh(n_data=2, devices=_jax.devices()[:2])
+    run_test_videos(video_dataset + "/Videos", out_dp, trainer.model, variables,
+                    method_name="DP", mesh=mesh, **common)
+    for name in ("vid_a", "vid_b"):
+        sd = loadmat(os.path.join(out_sd, "SD", name + ".mat"), "salmap")
+        dp = loadmat(os.path.join(out_dp, "DP", name + ".mat"), "salmap")
+        assert sd.shape == dp.shape
+        diff = np.abs(sd.astype(np.int16) - dp.astype(np.int16))
+        assert diff.max() <= 1, f"{name}: max uint8 diff {diff.max()}"
+
+
+def test_dp_mesh_cli_guard():
+    """--dp_devices beyond the visible device count fails loudly."""
+    import pytest as _pytest
+
+    from iip_uavsal_saliency_tpu.cli import _dp_mesh
+    from iip_uavsal_saliency_tpu.utils.config import Config
+
+    assert _dp_mesh(Config(dp_devices=1)) is None
+    with _pytest.raises(SystemExit, match="devices visible"):
+        _dp_mesh(Config(dp_devices=999))
+    mesh = _dp_mesh(Config(dp_devices=2))
+    assert dict(mesh.shape)["data"] == 2
+
+
 def test_infer_zoo_checkpoint(video_dataset, tmp_path_factory):
     """`test` must serve zoo-variant checkpoints: load_model_for_inference
     builds the named MODEL_ZOO class behind the stateful adapter (it used to
