@@ -63,41 +63,16 @@ def main():
                          "input per step)")
     args = ap.parse_args()
 
-    import jax
-
     repo = os.path.dirname(os.path.abspath(__file__))
-    # UAVSAL_CACHE_DIR: used by tools/warm_cache.py to aim THIS script's
-    # compiles at the shippable serving_cache/ dir (cache keys hash the
-    # traced HLO, which is stable across processes for the same script but
-    # NOT across differently-written scripts — so the seed must be produced
-    # by bench.py itself)
-    cache = os.environ.get("UAVSAL_CACHE_DIR") or os.path.join(repo, ".jax_cache")
-    # Seed the compile cache from the committed serving_cache/ (built by
-    # tools/warm_cache.py on a TPU): a fresh checkout then pays seconds, not
-    # the ~6 min full-model XLA compile (BENCH_r03's 376.7 s first call).
-    # Keys hash the HLO + compile options + backend, so a stale entry can
-    # only MISS (normal compile), never load a wrong program.
-    ship = os.path.join(repo, "serving_cache")
-    if os.path.isdir(ship):
-        import shutil
+    # Shared cache policy (seed from the committed serving_cache/, stable
+    # keys across processes): see utils/compile_cache.py for the measured
+    # key-stability findings this encodes.
+    from iip_uavsal_saliency_tpu.utils.compile_cache import setup_compile_cache
 
-        os.makedirs(cache, exist_ok=True)
-        seeded = 0
-        for f in os.listdir(ship):
-            dst = os.path.join(cache, f)
-            if not os.path.exists(dst):
-                shutil.copyfile(os.path.join(ship, f), dst)
-                seeded += 1
-        if seeded:
-            log(f"seeded {seeded} compile-cache entries from serving_cache/")
-    jax.config.update("jax_compilation_cache_dir", cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
-    # The Pallas TWA's custom_partitioning rule serializes a PYTHON POINTER
-    # into the module; without this flag the cache key changes whenever that
-    # allocation address does (measured: the same source hit its own entry
-    # in back-to-back runs, then missed after an unrelated import-order
-    # change), which would make the shipped serving_cache/ useless.
-    jax.config.update("jax_remove_custom_partitioning_ptr_from_cache_key", True)
+    seeded = setup_compile_cache(repo)
+    if seeded:
+        log(f"seeded {seeded} compile-cache entries from serving_cache/")
+    import jax
     import jax.numpy as jnp
 
     from iip_uavsal_saliency_tpu.models import UAVSal, init_variables

@@ -26,19 +26,20 @@ def _read_frames(cap, max_frames, transform):
     """Decode until cap.read() fails (or max_frames), writing into a buffer
     preallocated from the header frame count. The header is a capacity HINT,
     not a bound: headers that UNDERcount (VFR / stream-muxed files, count=0
-    webms) grow with one tail copy; headers that mildly OVERcount trim to a
-    view; headers that overcount 2x+ trim with a copy (so the oversized base
-    buffer is freed), and the prealloc itself is capped at ~4 GiB against
-    corrupt headers — no fabricated black frames, no dropped tails, and peak
-    host RAM stays ~one copy of the video instead of the 2x a list+np.stack
-    pays.
+    webms) grow geometrically in place (amortized O(n) copy work); headers
+    that mildly OVERcount trim to a view; headers that overcount 2x+ trim
+    with a copy (so the oversized base buffer is freed). The INITIAL
+    prealloc is capped at ~4 GiB against corrupt headers claiming billions
+    of frames — legitimately longer videos still decode, growing past the
+    cap by doubling (peak transient RAM during a growth step is old+new,
+    ~1.5x the data; never the ~3x of a per-frame list + stack + concatenate).
+    No fabricated black frames, no dropped tails.
 
     Returns (frames or None if zero frames decoded, n)."""
     header_n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
     n = 0
     buf = None
-    extra = []
-    while n + len(extra) < max_frames:
+    while n < max_frames:
         ret, frame = cap.read()
         if not ret:
             break
@@ -46,26 +47,26 @@ def _read_frames(cap, max_frames, transform):
         if buf is None:
             hint = int(min(header_n, max_frames)) if header_n > 0 else 0
             # a corrupt header claiming billions of frames must not drive the
-            # upfront np.empty: cap the prealloc at ~4 GiB — real frames past
-            # the cap still land in `extra` and concatenate once at the end
+            # upfront np.empty: cap the FIRST allocation at ~4 GiB — real
+            # frames past it grow the buffer below
             cap_frames = max(1, (4 << 30) // max(f.nbytes, 1))
             buf = np.empty((min(hint, cap_frames),) + f.shape, f.dtype)
-        if n < buf.shape[0]:
-            buf[n] = f
-            n += 1
-        else:
-            extra.append(f)
+        if n == buf.shape[0]:
+            # full (undercounting header, or the corrupt-header cap): double
+            grown = np.empty((max(2 * n, 16),) + f.shape, f.dtype)
+            grown[:n] = buf
+            buf = grown
+        buf[n] = f
+        n += 1
     if buf is None:
         return None, 0
-    if extra:
-        frames = np.concatenate([buf[:n], np.stack(extra)]) if n else np.stack(extra)
-    elif n * 2 < buf.shape[0]:
+    if n * 2 < buf.shape[0]:
         # overcounting header: buf[:n] is a view pinning the whole hint-sized
         # base allocation for the array's lifetime — copy so it's released
         frames = buf[:n].copy()
     else:
         frames = buf[:n]
-    return frames, n + len(extra)
+    return frames, n
 
 
 def decode_video(path: str, max_frames: float = float("inf")) -> Tuple[np.ndarray, int, int, int]:

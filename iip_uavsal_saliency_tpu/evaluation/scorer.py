@@ -410,7 +410,9 @@ def _prefetch_videos(sal_names, salmap_dir, maps_dir, fixs_dir):
         fixpts = loadmat(os.path.join(fixs_dir, file_name + "_fixPts.mat"), "fixLoc")
         return file_name, _prep_video(salmap, fixmap, fixpts), fixpts.shape[:2]
 
-    with ThreadPoolExecutor(max_workers=1) as pool:
+    pool = ThreadPoolExecutor(max_workers=1)
+    future = None
+    try:
         future = pool.submit(load, sal_names[0]) if sal_names else None
         for i in range(len(sal_names)):
             item = future.result()
@@ -418,6 +420,20 @@ def _prefetch_videos(sal_names, salmap_dir, maps_dir, fixs_dir):
                 pool.submit(load, sal_names[i + 1]) if i + 1 < len(sal_names) else None
             )
             yield item
+    finally:
+        # wait=False: a consumer error (or Ctrl-C) must not stall behind an
+        # in-flight multi-GB .mat load; surface a worker failure that the
+        # dying main loop would otherwise drop (same shape as
+        # runners/infer.test_videos' decode prefetch)
+        pool.shutdown(wait=False, cancel_futures=True)
+        if future is not None:
+            future.cancel()
+            try:
+                exc = future.exception(timeout=1)
+            except Exception:  # still running or cancelled: nothing to report
+                exc = None
+            if exc is not None:
+                log.error("prefetch .mat load failed: %s", exc)
 
 
 def evalscores_vid(

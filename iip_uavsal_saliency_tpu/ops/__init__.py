@@ -1,4 +1,4 @@
-from .fold import fold_batchnorm
+from .fold import fold_batchnorm, looks_folded
 from .initializers import INIT_REGISTRY, kaiming_normal, xavier_uniform
 from .layers import ConvBNAct, DWBlock, ConvBNAct3D
 from .resize import (

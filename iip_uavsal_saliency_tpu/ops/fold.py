@@ -126,6 +126,43 @@ def _walk(p_node, s_node, eps: float) -> Tuple[Any, Any]:
     return p_out, s_out
 
 
+def looks_folded(variables: Dict[str, Any], eps: float = BN_EPS) -> bool:
+    """True when `variables` carries fold_batchnorm's signature.
+
+    The fold leaves a distinctive fingerprint no trained (or freshly
+    initialized) checkpoint has: some BN whose params scale is the constant
+    sqrt(1+eps) on EVERY channel (fresh init uses 1.0) while its running
+    stats are exactly mean=0 / var=1. Trainer uses this to reject folded
+    variables loudly — fine-tuning them would double-count the absorbed BN
+    scale (see fold_batchnorm's docstring)."""
+    marker = np.sqrt(np.float32(1.0) + np.float32(eps))
+
+    def _scan(p_node, s_node) -> bool:
+        if not isinstance(p_node, dict) or not isinstance(s_node, dict):
+            return False
+        for name in ("bn", "project_bn"):
+            p_bn, s_bn = p_node.get(name), s_node.get(name)
+            if (
+                isinstance(p_bn, dict) and isinstance(s_bn, dict)
+                and "scale" in p_bn and "mean" in s_bn and "var" in s_bn
+            ):
+                scale = np.asarray(p_bn["scale"], np.float32)
+                if (
+                    scale.size
+                    and np.all(scale == marker)
+                    and np.all(np.asarray(s_bn["mean"], np.float32) == 0)
+                    and np.all(np.asarray(s_bn["var"], np.float32) == 1)
+                ):
+                    return True
+        return any(
+            _scan(v, s_node.get(k, {}))
+            for k, v in p_node.items()
+            if isinstance(v, dict)
+        )
+
+    return _scan(variables.get("params", {}), variables.get("batch_stats", {}))
+
+
 def fold_batchnorm(variables: Dict[str, Any], eps: float = BN_EPS) -> Dict[str, Any]:
     """Return variables with every eval-mode Conv+BN pair folded.
 

@@ -221,12 +221,16 @@ def test_videos(
             )
 
             v = len(decoded)
-            if v < v_per and len(groups) > 1:
+            if v < v_per and (len(groups) > 1 or mesh is not None):
                 # ragged FINAL group: pad with zero-frame dummy entries so
                 # the (V, ...) shapes match the already-compiled program —
                 # an unpadded last group would recompile the whole model
-                # for one batch. Dummies (name=None) produce no clips, no
-                # scatter writes, and no output file.
+                # for one batch, and under a mesh an unpadded V would not
+                # divide the 'data' axis (shard_map rejects it). Dummies
+                # (name=None) produce no clips, no scatter writes, and no
+                # output file. A lone unpadded group WITHOUT a mesh skips
+                # the padding: nothing is compiled yet, so the smaller V
+                # compiles once and wastes no compute on dummy rows.
                 dummy = (None, decoded[0][1][:0], 0, 1, 1)
                 decoded = decoded + [dummy] * (v_per - v)
                 v = v_per

@@ -187,6 +187,17 @@ class Trainer:
                 self.model, jax.random.PRNGKey(0), dummy_x, self.gauss, self.ob, dummy_state
             )
         else:
+            from ..ops.fold import looks_folded
+
+            if looks_folded(pre_variables):
+                raise ValueError(
+                    "pre_variables carry fold_batchnorm's signature (BN "
+                    "scale absorbed into conv kernels). Training on folded "
+                    "variables would double-count the BN scale under live "
+                    "batch statistics. Load the raw checkpoint instead — "
+                    "e.g. load_model_for_inference(..., fold_bn=False) or "
+                    "training.checkpoint.load_checkpoint directly."
+                )
             variables = pre_variables
 
         mask = make_frozen_mask(variables["params"], config.freeze) if config.freeze else None

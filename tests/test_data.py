@@ -256,7 +256,7 @@ def test_read_frames_overcount_releases_base_buffer():
     """A 2x+ overcounting header must not pin the hint-sized allocation:
     the returned array owns its memory (copy), and a corrupt header claiming
     billions of frames is capped at ~4 GiB of prealloc (real frames past the
-    cap land in the tail-append path, so nothing is dropped)."""
+    cap grow the buffer geometrically, so nothing is dropped)."""
     from iip_uavsal_saliency_tpu.data.video import _read_frames
 
     frames = [np.full((4, 6, 3), i, np.uint8) for i in range(3)]
@@ -271,10 +271,11 @@ def test_read_frames_overcount_releases_base_buffer():
     assert n == 3 and got.shape[0] == 3
     np.testing.assert_array_equal(got, np.stack(frames))
 
-    # undercounting header still grows via the tail-append path
+    # undercounting header still grows (geometric doubling, owns its memory)
     frames8 = [np.full((1, 1, 3), i, np.uint8) for i in range(8)]
     got, n = _read_frames(_FakeCap(frames8, 6), float("inf"), lambda f: f)
     assert n == 8 and got.shape[0] == 8
+    np.testing.assert_array_equal(got, np.stack(frames8))
 
 
 def test_read_frames_respects_max_frames_and_empty():

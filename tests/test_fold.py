@@ -11,7 +11,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from iip_uavsal_saliency_tpu.ops.fold import fold_batchnorm
+from iip_uavsal_saliency_tpu.ops.fold import fold_batchnorm, looks_folded
 
 
 def _rand_stats(variables, seed=3):
@@ -100,6 +100,42 @@ def test_fold_idempotent_and_bf16_safe():
         lambda a: a.astype(jnp.bfloat16).astype(jnp.float32), jnp.asarray(f1["batch_stats"]["bn"]["var"])
     )
     np.testing.assert_array_equal(np.asarray(cast), 1.0)
+
+
+def test_looks_folded_detects_the_fold_signature():
+    """looks_folded: True after fold_batchnorm, False on raw variables AND
+    on a fresh init (whose stats are also mean=0/var=1 but whose BN scale is
+    1.0, not the fold's sqrt(1+eps)) — the Trainer uses it to reject folded
+    pre_variables, whose fine-tuning would double-count the absorbed scale."""
+    from iip_uavsal_saliency_tpu.ops.layers import DWBlock
+
+    blk = DWBlock(features=32, kernel_size=3)
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 8, 8, 32), jnp.float32)
+    fresh = blk.init(jax.random.PRNGKey(0), x, train=False)
+    assert not looks_folded(fresh)  # identity stats but scale=1.0
+    trained_like = _rand_stats(fresh)
+    assert not looks_folded(trained_like)
+    assert looks_folded(fold_batchnorm(trained_like))
+    assert looks_folded(fold_batchnorm(fresh))
+
+
+def test_trainer_rejects_folded_pre_variables(tmp_path):
+    """Trainer(pre_variables=<folded>) fails loudly instead of silently
+    training a model whose conv kernels already absorbed the BN scale.
+    A one-DWBlock folded tree carries the full signature, so the guard
+    fires before any model init/compile."""
+    from iip_uavsal_saliency_tpu.ops.layers import DWBlock
+    from iip_uavsal_saliency_tpu.training.trainer import TrainConfig, Trainer
+
+    blk = DWBlock(features=32, kernel_size=3)
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 8, 8, 32), jnp.float32)
+    folded = fold_batchnorm(_rand_stats(blk.init(jax.random.PRNGKey(0), x,
+                                                 train=False)))
+    cfg = TrainConfig(iosize=(64, 128, 8, 16), time_dims=5, batch_size=1,
+                      bias_type=(0, 0, 0), num_stblock=1)
+    with pytest.raises(ValueError, match="fold"):
+        Trainer(cfg, str(tmp_path), "UAV2", str(tmp_path / "out"),
+                pre_variables=folded)
 
 
 def test_fold_passthrough_unmatched():

@@ -613,6 +613,38 @@ def test_dp_serving_through_runner(trained, video_dataset, tmp_path_factory):
         assert diff.max() <= 1, f"{name}: max uint8 diff {diff.max()}"
 
 
+def test_dp_serving_ragged_single_group(trained, video_dataset, tmp_path_factory):
+    """DP serving with FEWER videos than videos_per_batch (the resumed-run /
+    tiny-dir case): a lone group of 1 video under a data=2 mesh must be
+    dummy-padded so the V axis still shards — it used to skip padding for
+    len(groups)==1 and crash in device_put/shard_map."""
+    import shutil
+
+    import jax as _jax
+
+    from iip_uavsal_saliency_tpu.parallel.mesh import make_mesh
+
+    trainer, state, final = trained
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    one_dir = tmp_path_factory.mktemp("dp_one_in")
+    shutil.copyfile(os.path.join(video_dataset, "Videos", "vid_a.avi"),
+                    os.path.join(one_dir, "vid_a.avi"))
+    out_sd = str(tmp_path_factory.mktemp("dp_one_sd"))
+    out_dp = str(tmp_path_factory.mktemp("dp_one_dp"))
+    common = dict(iosize=IOSIZE, batch_size=1, time_dims=TIME_DIMS,
+                  bias_type=(1, 0, 1))
+    run_test_videos(str(one_dir), out_sd, trainer.model, variables,
+                    method_name="SD", **common)
+    mesh = make_mesh(n_data=2, devices=_jax.devices()[:2])
+    run_test_videos(str(one_dir), out_dp, trainer.model, variables,
+                    method_name="DP", mesh=mesh, videos_per_batch=2, **common)
+    sd = loadmat(os.path.join(out_sd, "SD", "vid_a.mat"), "salmap")
+    dp = loadmat(os.path.join(out_dp, "DP", "vid_a.mat"), "salmap")
+    assert sd.shape == dp.shape
+    diff = np.abs(sd.astype(np.int16) - dp.astype(np.int16))
+    assert diff.max() <= 1, f"max uint8 diff {diff.max()}"
+
+
 def test_dp_mesh_cli_guard():
     """--dp_devices beyond the visible device count fails loudly."""
     import pytest as _pytest

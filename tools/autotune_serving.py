@@ -91,16 +91,23 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--candidates", default="4,8,16,32",
                     help="comma-separated clips-per-step values to sweep")
-    ap.add_argument("--video-candidates", default="1",
+    ap.add_argument("--video-candidates", default=None,
                     help="comma-separated V (parallel videos) values to sweep")
     ap.add_argument("--height", type=int, default=360)
     ap.add_argument("--width", type=int, default=640)
     ap.add_argument("--time-dims", type=int, default=5)
-    ap.add_argument("--videos", type=int, default=1)
+    ap.add_argument("--videos", type=int, default=1,
+                    help="single V to measure (alias for --video-candidates V)")
     ap.add_argument("--steps", type=int, default=12)
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--dtype", choices=["f32", "bf16"], default="bf16")
     args = ap.parse_args()
+    # --videos is the pre-sweep spelling: it must keep controlling what gets
+    # MEASURED, so it becomes the candidate list unless one was given
+    if args.video_candidates is None:
+        args.video_candidates = str(args.videos)
+    elif args.videos != 1:
+        ap.error("pass either --videos V or --video-candidates V1,V2,... (not both)")
 
     import jax
 
@@ -118,10 +125,12 @@ def main():
     compute_dtype = jnp.bfloat16 if args.dtype == "bf16" else None
     model = UAVSal(time_dims=t)
     rng = np.random.RandomState(0)
-    x0 = jnp.asarray(rng.rand(args.videos, t, h, w, 3).astype(np.float32))
+    # V=1 init: params are V-independent, so don't compile a V>1 init
+    # program that the sweep never measures
+    x0 = jnp.asarray(rng.rand(1, t, h, w, 3).astype(np.float32))
     gauss = jnp.asarray(rng.rand(h // 8, w // 8, 8).astype(np.float32))
     ob = jnp.asarray(rng.rand(h // 8, w // 8, 20).astype(np.float32))
-    st0 = model.init_state(h, w, args.videos)
+    st0 = model.init_state(h, w, 1)
     variables = init_variables(model, jax.random.PRNGKey(0), x0, gauss, ob, st0)
     if compute_dtype is not None:
         variables = jax.jit(

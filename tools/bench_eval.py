@@ -72,8 +72,6 @@ def main():
         # prebuild the sAUC fixation pool outside the timed region (it is a
         # one-time dataset cache in production, resume-skipped afterwards)
         if "AUC_shuffled" in keys:
-            np.save(os.path.join(root, "ALLFixPts_DS.npy"),
-                    np.array([np.zeros((0, 2))], dtype=object), allow_pickle=True)
             from iip_uavsal_saliency_tpu.evaluation import scorer as _s
 
             cache = os.path.join(root, "ALLFixPts_DS.npy")

@@ -49,13 +49,23 @@ def main():
         os.rename(cache, bak)
     try:
         env = dict(os.environ)
-        env.pop("UAVSAL_CACHE_DIR", None)  # must target the real .jax_cache
+        # the bench must not re-seed the old serving_cache/ into the freshly
+        # stashed .jax_cache: the run has to compile (and so WRITE) every
+        # program it needs, so `produced` below is exactly the current set
+        env["UAVSAL_SKIP_CACHE_SEED"] = "1"
         cmd = [sys.executable, os.path.join(repo, "bench.py")] + bench_flags
         print("running:", " ".join(cmd), file=sys.stderr)
         rc = subprocess.run(cmd, env=env, cwd=repo).returncode
         if rc != 0:
             raise SystemExit(rc)
         produced = sorted(os.listdir(cache)) if os.path.isdir(cache) else []
+        # prune first: stale entries (old code, old keys) can never hit again
+        # and would otherwise bloat the committed dir forever
+        stale = [f for f in os.listdir(out_dir) if f not in produced]
+        for f in stale:
+            os.remove(os.path.join(out_dir, f))
+        if stale:
+            print(f"pruned {len(stale)} stale entries from {out_dir}", file=sys.stderr)
         for f in produced:
             shutil.copyfile(os.path.join(cache, f), os.path.join(out_dir, f))
         total = sum(os.path.getsize(os.path.join(out_dir, f)) for f in produced)
