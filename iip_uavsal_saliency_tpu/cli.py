@@ -14,6 +14,8 @@ blocks.
     python -m iip_uavsal_saliency_tpu eval-img   [--methods A,B]
     python -m iip_uavsal_saliency_tpu vis        [--methods A,B|GT] [--with-fix] [--frames 0,5,10]
     python -m iip_uavsal_saliency_tpu convert ref.pth out.ckpt [--model_name uavsal]
+    python -m iip_uavsal_saliency_tpu export ckpt.ckpt out.aot [--export_platforms tpu]
+    python -m iip_uavsal_saliency_tpu test-aot out.aot           # serve the artifact
     python -m iip_uavsal_saliency_tpu modelsize
     python -m iip_uavsal_saliency_tpu pipeline   # train -> test -> eval -> vis
 """
@@ -290,6 +292,63 @@ def cmd_convert(cfg: Config, src: str, dst: str) -> None:
     log.info("converted %s (%s) -> %s", src, cfg.model_name, dst)
 
 
+def cmd_export(cfg: Config, src: str, dst: str) -> None:
+    """Checkpoint -> one self-contained AOT serving artifact (weights,
+    priors, fold, bf16 policy, and serving shape baked in — runners/export).
+    Serve it anywhere with `test-aot out.aot`; no model code, checkpoint,
+    or prior files needed at the destination. The serving shape is frozen
+    at export time from --iosize/--test_batch_size/--videos_per_batch."""
+    if not os.path.exists(src):
+        raise SystemExit(f"checkpoint not found: {src}")
+    from .runners.export import export_serving, save_exported
+    from .runners.infer import load_model_for_inference
+
+    model, variables = load_model_for_inference(
+        src, cnn_type=cfg.cnn_type, time_dims=cfg.time_dims,
+        num_stblock=cfg.num_stblock, bias_type=cfg.bias_type,
+        model_name=cfg.model_name, st_type=cfg.st_type, fold_bn=cfg.fold_bn,
+    )
+    shape_r_out, shape_c_out = cfg.iosize[2], cfg.iosize[3]
+    gauss = ob = None
+    if cfg.bias_type[0]:
+        from .data.priors import get_gauss_priors
+
+        gauss = get_gauss_priors(shape_r_out, shape_c_out, 8, cfg.priors_cache_dir)
+    if cfg.bias_type[1]:
+        from .data.priors import get_ob_priors
+
+        ob = get_ob_priors(cfg.train_data_dir, cfg.train_dataset, "train",
+                           shape_r_out, shape_c_out, 20, cfg.priors_cache_dir)
+    import jax.numpy as jnp
+
+    exported, meta = export_serving(
+        model, variables,
+        iosize=cfg.iosize, batch_size=cfg.test_batch_size,
+        time_dims=cfg.time_dims, videos_per_batch=cfg.videos_per_batch,
+        bias_type=cfg.bias_type, gauss=gauss, ob=ob,
+        compute_dtype=jnp.bfloat16 if cfg.serve_bf16 else None,
+        platforms=cfg.export_platforms.split(",") if cfg.export_platforms else None,
+    )
+    save_exported(dst, exported, meta)
+    log.info("exported %s -> %s (platforms=%s, %s, S=%d, V=%d, %.1f MB)",
+             src, dst, meta["platforms"], meta["compute_dtype"],
+             meta["x_shape"][1], meta["videos_per_batch"],
+             os.path.getsize(dst) / 1e6)
+
+
+def cmd_test_aot(cfg: Config, artifact: str) -> None:
+    """Serve an AOT artifact over the test videos (resumable .mat output,
+    same flow as `test` — reference: Demo_Test.py:30-95)."""
+    if not os.path.exists(artifact):
+        raise SystemExit(f"artifact not found: {artifact}")
+    from .runners.export import run_exported
+
+    run_exported(
+        cfg.test_input_path, cfg.test_output_path, artifact,
+        method_name=cfg.method_name,
+    )
+
+
 def cmd_modelsize(cfg: Config):
     import jax
     import jax.numpy as jnp
@@ -319,9 +378,10 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         return 0
     cmd, rest = argv[0], argv[1:]
     positionals: List[str] = []
-    if cmd == "convert":
-        # convert takes two positionals (src .pth, dst .ckpt); every flag
-        # in this CLI is --key value, so split positionals out first
+    n_pos = {"convert": 2, "export": 2, "test-aot": 1}.get(cmd)
+    if n_pos:
+        # these commands take positionals (src/dst paths); every flag in
+        # this CLI is --key value, so split positionals out first
         flags: List[str] = []
         i = 0
         while i < len(rest):
@@ -331,12 +391,17 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
             else:
                 positionals.append(rest[i])
                 i += 1
-        if len(positionals) != 2:
-            raise SystemExit(
-                "usage: convert <reference.pth> <out.ckpt> "
-                "[--model_name NAME] [--num_stblock N] [--bias_type 1,1,1] "
-                "[--st_type st]"
-            )
+        if len(positionals) != n_pos:
+            usage = {
+                "convert": "convert <reference.pth> <out.ckpt> "
+                           "[--model_name NAME] [--num_stblock N] "
+                           "[--bias_type 1,1,1] [--st_type st]",
+                "export": "export <in.ckpt> <out.aot> [--export_platforms tpu] "
+                          "[--test_batch_size N] [--videos_per_batch V] "
+                          "[--serve_bf16 true] [--fold_bn true]",
+                "test-aot": "test-aot <in.aot> [--method_name NAME]",
+            }[cmd]
+            raise SystemExit(f"usage: {usage}")
         rest = flags
     cfg_path, methods, vis_opts, rest = _split_cli(rest, cmd)
     cfg = load_config(cfg_path, rest)
@@ -356,6 +421,10 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
                 with_fix=vis_opts["with_fix"])
     elif cmd == "convert":
         cmd_convert(cfg, positionals[0], positionals[1])
+    elif cmd == "export":
+        cmd_export(cfg, positionals[0], positionals[1])
+    elif cmd == "test-aot":
+        cmd_test_aot(cfg, positionals[0])
     elif cmd == "modelsize":
         cmd_modelsize(cfg)
     elif cmd == "pipeline":  # reference: Demo_Train_Test.py:283-303

@@ -105,6 +105,7 @@ def test_videos(
     videos_per_batch: int = 1,
     compute_dtype=None,
     mesh=None,
+    infer_step=None,
 ) -> None:
     """Run saliency prediction over every video in `input_path`.
 
@@ -122,7 +123,14 @@ def test_videos(
     runs the complete single-device program on its own videos, zero
     collectives; the fused Pallas TWA kernel runs unmodified per chip).
     Requires videos_per_batch % mesh.shape['data'] == 0. CLI: --dp_devices.
+
+    `infer_step`: a pre-built `(params, batch_stats, x, gauss, ob, state)
+    -> (sal, state)` step that replaces make_infer_step — used by the AOT
+    serving path (runners/export.run_exported), whose step has the weights
+    and priors baked into the artifact. Mutually exclusive with `mesh`.
     """
+    if infer_step is not None and mesh is not None:
+        raise ValueError("pass either a pre-built infer_step or a mesh, not both")
     if method_name:
         output_path = os.path.join(output_path, method_name)
     os.makedirs(output_path, exist_ok=True)
@@ -169,8 +177,9 @@ def test_videos(
         gauss = None if gauss is None else jax.device_put(gauss, rep)
         ob = None if ob is None else jax.device_put(ob, rep)
 
-    infer_step = make_infer_step(model, mesh=mesh, compute_dtype=compute_dtype,
-                                 donate_state=True)
+    if infer_step is None:
+        infer_step = make_infer_step(model, mesh=mesh, compute_dtype=compute_dtype,
+                                     donate_state=True)
     params, batch_stats = variables["params"], variables.get("batch_stats", {})
 
     file_names = [
@@ -221,16 +230,18 @@ def test_videos(
             )
 
             v = len(decoded)
-            if v < v_per and (len(groups) > 1 or mesh is not None):
+            if v < v_per and (len(groups) > 1 or mesh is not None
+                              or infer_step is not None):
                 # ragged FINAL group: pad with zero-frame dummy entries so
                 # the (V, ...) shapes match the already-compiled program —
                 # an unpadded last group would recompile the whole model
-                # for one batch, and under a mesh an unpadded V would not
-                # divide the 'data' axis (shard_map rejects it). Dummies
+                # for one batch; under a mesh an unpadded V would not
+                # divide the 'data' axis (shard_map rejects it); an injected
+                # AOT infer_step has its V baked into the artifact. Dummies
                 # (name=None) produce no clips, no scatter writes, and no
-                # output file. A lone unpadded group WITHOUT a mesh skips
-                # the padding: nothing is compiled yet, so the smaller V
-                # compiles once and wastes no compute on dummy rows.
+                # output file. A lone unpadded group with NONE of those
+                # constraints skips the padding: nothing is compiled yet, so
+                # the smaller V compiles once and wastes no dummy compute.
                 dummy = (None, decoded[0][1][:0], 0, 1, 1)
                 decoded = decoded + [dummy] * (v_per - v)
                 v = v_per

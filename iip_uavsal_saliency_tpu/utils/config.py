@@ -60,6 +60,9 @@ class Config:
     dp_devices: int = 1
     serve_bf16: bool = True    # bf16 serving path for `test` (f32: parity)
     fold_bn: bool = True       # fold eval BN into convs at serving load
+    # `export` target platforms, comma-separated (e.g. "tpu" to cross-lower
+    # from a CPU host); empty = the current backend
+    export_platforms: str = ""
     # AUC-Borji/shuffled on device (False: host path). None = default: device
     # for video eval (measured 5.5x), auto-probe for image eval (the relay
     # RTT makes batched image shipping a regression — scorer.device_dispatch_ms)

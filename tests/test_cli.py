@@ -128,6 +128,21 @@ def test_convert_usage_errors():
         main(["convert", "/nonexistent/ref.pth", "/tmp/out.ckpt"])
 
 
+def test_export_and_test_aot_usage_errors():
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="usage: export"):
+        main(["export"])
+    with _pytest.raises(SystemExit, match="usage: export"):
+        main(["export", "only_one.ckpt"])
+    with _pytest.raises(SystemExit, match="checkpoint not found"):
+        main(["export", "/nonexistent/in.ckpt", "/tmp/out.aot"])
+    with _pytest.raises(SystemExit, match="usage: test-aot"):
+        main(["test-aot"])
+    with _pytest.raises(SystemExit, match="artifact not found"):
+        main(["test-aot", "/nonexistent/in.aot"])
+
+
 def test_load_config_missing_file_errors():
     import pytest as _pytest
 

@@ -1,0 +1,150 @@
+"""AOT serving artifacts (runners/export.py): roundtrip parity, the full
+run_exported pipeline, and the loud-failure probes.
+
+The artifact must serve identically to the live path it was exported from:
+same uint8-in/f32-out step, weights + priors + normalize baked inside.
+"""
+
+import os
+import struct
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from iip_uavsal_saliency_tpu.runners.export import (
+    MAGIC,
+    ExportedServing,
+    export_serving,
+    run_exported,
+    save_exported,
+)
+
+pytestmark = pytest.mark.slow  # full-model trace/compile
+
+IOSIZE = (64, 128, 8, 16)
+
+
+@pytest.fixture(scope="module")
+def artifact(uavsal_small, tmp_path_factory):
+    """Export the shared small UAVSal (V=1, S=5) and return
+    (path, model, variables, (gauss, ob))."""
+    model, variables, (x, g, o, s) = uavsal_small
+    exported, meta = export_serving(
+        model, variables, iosize=IOSIZE, batch_size=1, time_dims=5,
+        videos_per_batch=1, bias_type=(1, 1, 1), gauss=g, ob=o,
+    )
+    path = str(tmp_path_factory.mktemp("aot") / "uavsal.aot")
+    save_exported(path, exported, meta)
+    return path, model, variables, (g, o)
+
+
+def test_export_roundtrip_matches_live(artifact):
+    """load(save(export(step))) computes the live make_infer_step outputs.
+    Not bit-equal: the deserialized StableHLO compiles through a different
+    pipeline than the direct jaxpr (measured max |delta| ~5e-6 f32), so the
+    bound is 1e-4 — still 40x under one uint8 postprocess level (1/255)."""
+    from iip_uavsal_saliency_tpu.parallel.steps import make_infer_step
+
+    path, model, variables, (g, o) = artifact
+    art = ExportedServing(path)
+    assert art.meta["x_shape"] == [1, 5, 64, 128, 3]
+    assert art.meta["platforms"] == ["cpu"]
+
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randint(0, 255, (1, 5, 64, 128, 3), np.uint8))
+    state = art.init_state(64, 128, 1)
+    sal_a, st_a = art(x, state)
+
+    live = make_infer_step(model)
+    sal_l, st_l = live(variables["params"], variables["batch_stats"],
+                       x, g, o, model.init_state(64, 128, 1))
+    np.testing.assert_allclose(np.asarray(sal_a), np.asarray(sal_l), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(st_a), np.asarray(st_l), atol=1e-4)
+
+    # state chains: a second step from the returned state also matches
+    sal_a2, _ = art(x, st_a)
+    sal_l2, _ = live(variables["params"], variables["batch_stats"], x, g, o, st_l)
+    np.testing.assert_allclose(np.asarray(sal_a2), np.asarray(sal_l2), atol=1e-4)
+
+
+def test_run_exported_end_to_end(artifact, tmp_path):
+    """The artifact drives the full resumable pipeline (decode -> letterbox
+    -> step -> un-letterbox -> uint8 .mat) and matches test_videos' output
+    from the same model within one uint8 level."""
+    import cv2
+
+    from iip_uavsal_saliency_tpu.data.matio import loadmat
+    from iip_uavsal_saliency_tpu.runners.infer import test_videos
+
+    path, model, variables, (g, o) = artifact
+    vid_dir = tmp_path / "Videos"
+    os.makedirs(vid_dir)
+    rng = np.random.RandomState(0)
+    wr = cv2.VideoWriter(str(vid_dir / "v.avi"),
+                         cv2.VideoWriter_fourcc(*"MJPG"), 10.0, (96, 72))
+    for _ in range(10):
+        wr.write(rng.randint(0, 255, (72, 96, 3), np.uint8))
+    wr.release()
+
+    out_aot = str(tmp_path / "out_aot")
+    run_exported(str(vid_dir), out_aot, path, method_name="AOT")
+    sal_aot = loadmat(os.path.join(out_aot, "AOT", "v.mat"), "salmap")
+    assert sal_aot.shape == (72, 96, 1, 10) and sal_aot.dtype == np.uint8
+
+    # live reference run over the same dir (priors rebuilt from g/o is not
+    # possible through test_videos' loader args, so call with explicit step)
+    from iip_uavsal_saliency_tpu.parallel.steps import make_infer_step
+
+    live = make_infer_step(model)
+    params, stats = variables["params"], variables["batch_stats"]
+    out_live = str(tmp_path / "out_live")
+    test_videos(str(vid_dir), out_live, model, variables, iosize=IOSIZE,
+                batch_size=1, time_dims=5, bias_type=(0, 0, 0),
+                method_name="LIVE",
+                infer_step=lambda p, b, x, gg, oo, st: live(params, stats,
+                                                            x, g, o, st))
+    sal_live = loadmat(os.path.join(out_live, "LIVE", "v.mat"), "salmap")
+    diff = np.abs(sal_aot.astype(np.int16) - sal_live.astype(np.int16))
+    assert diff.max() <= 1, f"max uint8 diff {diff.max()}"
+
+
+def test_artifact_guards(artifact, tmp_path):
+    path, model, variables, _ = artifact
+    art = ExportedServing(path)
+    # shape mismatches fail loudly at init_state
+    with pytest.raises(ValueError, match="fixed to"):
+        art.init_state(64, 128, 2)
+    with pytest.raises(ValueError, match="fixed to"):
+        art.init_state(128, 64, 1)
+    # not an artifact
+    bad = tmp_path / "bad.aot"
+    bad.write_bytes(b"garbage")
+    with pytest.raises(ValueError, match="not a UAVSal AOT"):
+        ExportedServing(str(bad))
+    # newer format version is rejected, not misread
+    data = open(path, "rb").read()
+    off = len(MAGIC)
+    (hlen,) = struct.unpack_from("<I", data, off)
+    import json
+
+    meta = json.loads(data[off + 4 : off + 4 + hlen])
+    meta["format_version"] = 999
+    hdr = json.dumps(meta).encode()
+    newer = tmp_path / "newer.aot"
+    newer.write_bytes(MAGIC + struct.pack("<I", len(hdr)) + hdr
+                      + data[off + 4 + hlen :])
+    with pytest.raises(ValueError, match="newer"):
+        ExportedServing(str(newer))
+
+
+def test_infer_step_and_mesh_are_exclusive(artifact):
+    from iip_uavsal_saliency_tpu.parallel.mesh import make_mesh
+    from iip_uavsal_saliency_tpu.runners.infer import test_videos
+
+    path, model, variables, _ = artifact
+    mesh = make_mesh(n_data=2, devices=jax.devices()[:2])
+    with pytest.raises(ValueError, match="not both"):
+        test_videos("/nonexistent", "/tmp/x", model, variables, mesh=mesh,
+                    infer_step=lambda *a: None)
