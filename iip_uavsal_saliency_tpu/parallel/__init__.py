@@ -5,5 +5,6 @@ from .steps import (
     make_train_step,
     make_eval_step,
     make_infer_step,
+    make_baked_infer_step,
     train_state_shardings,
 )

@@ -93,6 +93,11 @@ def export_serving(
 
     v, s = videos_per_batch, batch_size * time_dims
     state0 = model.init_state(shape_r, shape_c, v)
+    if compute_dtype is not None:
+        # the module RETURNS state in the compute dtype; the input spec must
+        # match or the second step of a chained serving loop is rejected
+        # ("Dtype mismatch for args[1]") — zero extra casts this way
+        state0 = state0.astype(compute_dtype)
     x_spec = jax.ShapeDtypeStruct((v, s, shape_r, shape_c, 3), jnp.uint8)
     s_spec = jax.ShapeDtypeStruct(state0.shape, state0.dtype)
     exported = jax.export.export(
@@ -169,8 +174,8 @@ class ExportedServing:
                 f"artifact is fixed to (H, W, V)={expect}, got "
                 f"({shape_r}, {shape_c}, {v}) — re-export for other shapes"
             )
-        return jnp.zeros(tuple(self.meta["state_shape"]),
-                         jnp.dtype(self.meta["state_dtype"]))
+        # jnp resolves dtype NAMES incl. 'bfloat16' (np.dtype alone may not)
+        return jnp.zeros(tuple(self.meta["state_shape"]), self.meta["state_dtype"])
 
     def __call__(self, x, state):
         return self._step(x, state)

@@ -110,6 +110,31 @@ def test_run_exported_end_to_end(artifact, tmp_path):
     assert diff.max() <= 1, f"max uint8 diff {diff.max()}"
 
 
+def test_export_bf16_state_chains(uavsal_small, tmp_path):
+    """bf16 artifacts must CHAIN: the module returns state in the compute
+    dtype, so the input spec must be bf16 too — a second step from the
+    returned state used to fail with 'Dtype mismatch for args[1]'."""
+    model, variables, (x, g, o, s) = uavsal_small
+    exported, meta = export_serving(
+        model, variables, iosize=IOSIZE, batch_size=1, time_dims=5,
+        gauss=g, ob=o, compute_dtype=jnp.bfloat16,
+    )
+    p = str(tmp_path / "bf16.aot")
+    save_exported(p, exported, meta)
+    art = ExportedServing(p)
+    assert art.meta["state_dtype"] == "bfloat16"
+    assert art.meta["compute_dtype"] == "bfloat16"
+
+    rng = np.random.RandomState(3)
+    x_u8 = jnp.asarray(rng.randint(0, 255, (1, 5, 64, 128, 3), np.uint8))
+    st = art.init_state(64, 128, 1)
+    assert st.dtype == jnp.bfloat16
+    sal, st = art(x_u8, st)
+    sal2, st2 = art(x_u8, st)  # the chained second step
+    assert st2.dtype == jnp.bfloat16
+    assert sal.dtype == jnp.float32 and bool(jnp.isfinite(sal2).all())
+
+
 def test_artifact_guards(artifact, tmp_path):
     path, model, variables, _ = artifact
     art = ExportedServing(path)

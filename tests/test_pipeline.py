@@ -613,6 +613,29 @@ def test_dp_serving_through_runner(trained, video_dataset, tmp_path_factory):
         assert diff.max() <= 1, f"{name}: max uint8 diff {diff.max()}"
 
 
+def test_baked_serving_matches_live(trained, video_dataset, tmp_path_factory):
+    """bake_params=True (the serving default: params/stats/priors embedded
+    as compile-time constants, parallel/steps.make_baked_infer_step) must
+    write the same salmaps as the argument-passing step — XLA's constant
+    folding may reassociate f32 ops, so the bound is one uint8 level."""
+    trainer, state, final = trained
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    common = dict(iosize=IOSIZE, batch_size=1, time_dims=TIME_DIMS,
+                  bias_type=(1, 0, 1))
+    out_b = str(tmp_path_factory.mktemp("bake_on"))
+    out_a = str(tmp_path_factory.mktemp("bake_off"))
+    run_test_videos(video_dataset + "/Videos", out_b, trainer.model, variables,
+                    method_name="B", bake_params=True, **common)
+    run_test_videos(video_dataset + "/Videos", out_a, trainer.model, variables,
+                    method_name="A", bake_params=False, **common)
+    for name in ("vid_a", "vid_b"):
+        b = loadmat(os.path.join(out_b, "B", name + ".mat"), "salmap")
+        a = loadmat(os.path.join(out_a, "A", name + ".mat"), "salmap")
+        assert b.shape == a.shape
+        diff = np.abs(b.astype(np.int16) - a.astype(np.int16))
+        assert diff.max() <= 1, f"{name}: max uint8 diff {diff.max()}"
+
+
 def test_dp_serving_ragged_single_group(trained, video_dataset, tmp_path_factory):
     """DP serving with FEWER videos than videos_per_batch (the resumed-run /
     tiny-dir case): a lone group of 1 video under a data=2 mesh must be
