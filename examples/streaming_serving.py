@@ -4,11 +4,16 @@ The file-based runner (`runners.infer.test_videos`, the reference's
 Demo_Test.py flow) processes videos on disk. This example shows the other
 production pattern: a LIVE source (camera / RTSP / frame queue) served
 clip-by-clip with the recurrent state chained across dispatches — the
-exact loop bench.py measures (docs/PERF.md: ~1290 FPS at 360x640 bf16 on
-one TPU v5e chip, 6 ms/clip in the S=5 latency mode).
+exact loop bench.py measures (docs/PERF.md: ~1541 FPS at 360x640 bf16 on
+one TPU v5e chip with baked-constant serving, 6 ms/clip in the S=5
+latency mode).
 
 Key moves (see docs/PERF.md "What was optimized"):
 - frames ship to the device as uint8; normalization fuses on-chip;
+- `make_baked_infer_step`: weights/priors embedded as compile-time
+  CONSTANTS (they never change in serving) — XLA folds the eval-BN
+  affines and the constant-prior convs; +11.7% measured, and the step
+  takes just (clip, state);
 - `donate_state=True`: the carried state buffer is reused in place;
 - bf16 serving (`compute_dtype`) auto-selects the fused Pallas TWA
   kernel on TPU;
@@ -59,7 +64,7 @@ def main():
 
     from iip_uavsal_saliency_tpu.data.priors import get_gauss_priors
     from iip_uavsal_saliency_tpu.models import UAVSal, init_variables
-    from iip_uavsal_saliency_tpu.parallel.steps import make_infer_step
+    from iip_uavsal_saliency_tpu.parallel.steps import make_baked_infer_step
 
     h, w, t = args.height, args.width, args.time_dims
     ho, wo = h // 8, w // 8
@@ -74,23 +79,19 @@ def main():
     x0 = jnp.zeros((1, t, h, w, 3), jnp.float32)
     variables = init_variables(model, jax.random.PRNGKey(0), x0, gauss, None, state)
     if compute_dtype is not None:
-        variables, gauss, state = jax.jit(
-            lambda tr: jax.tree_util.tree_map(
-                lambda a: a.astype(compute_dtype)
-                if a.dtype == jnp.float32 else a, tr
-            )
-        )((variables, gauss, state))
+        state = state.astype(compute_dtype)
 
-    infer = make_infer_step(model, compute_dtype=compute_dtype, donate_state=True)
-    params, batch_stats = variables["params"], variables.get("batch_stats", {})
+    # weights + priors baked in as constants: step(clip, state) only
+    infer = make_baked_infer_step(
+        model, variables, gauss=gauss, compute_dtype=compute_dtype,
+        donate_state=True,
+    )
 
     print(f"serving {args.clips} clips of {t} frames at {h}x{w} "
           f"({'bf16 TPU' if on_tpu else 'CPU demo'})...")
     for i, clip in enumerate(synthetic_stream(args.clips, t, h, w)):
         t0 = time.perf_counter()
-        sal, state = infer(
-            params, batch_stats, jnp.asarray(clip)[None], gauss, None, state
-        )
+        sal, state = infer(jnp.asarray(clip)[None], state)
         # consume the result (here: fetch the last frame's peak location);
         # fetching forces completion, which is the honest latency point
         last = np.asarray(sal[0, -1, :, :, 0], np.float32)
