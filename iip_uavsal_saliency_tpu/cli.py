@@ -199,6 +199,7 @@ def cmd_test(cfg: Config):
         videos_per_batch=cfg.videos_per_batch,
         compute_dtype=jnp.bfloat16 if cfg.serve_bf16 else None,
         mesh=_dp_mesh(cfg),
+        bake_params=cfg.bake_params,
     )
 
 

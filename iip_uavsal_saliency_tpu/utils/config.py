@@ -59,6 +59,9 @@ class Config:
     # test shards videos_per_batch (both must be multiples of dp_devices)
     dp_devices: int = 1
     serve_bf16: bool = True    # bf16 serving path for `test` (f32: parity)
+    # embed params/priors as compile-time constants in the serving program
+    # (single-chip; +11.7% measured — docs/PERF.md "Baked-constant serving")
+    bake_params: bool = True
     fold_bn: bool = True       # fold eval BN into convs at serving load
     # `export` target platforms, comma-separated (e.g. "tpu" to cross-lower
     # from a CPU host); empty = the current backend
