@@ -44,6 +44,13 @@ def test_load_config_overrides():
     assert cfg.is_early_stop is False
 
 
+def test_bake_params_flag():
+    # baked-constant serving is the single-chip default; --bake_params false
+    # restores the argument-passing step (required for multi-chip meshes)
+    assert load_config(None, []).bake_params is True
+    assert load_config(None, ["--bake_params", "false"]).bake_params is False
+
+
 def test_main_help_and_unknown():
     assert main([]) == 0
     assert main(["--help"]) == 0
