@@ -5,7 +5,7 @@ Demo_Test.py flow) processes videos on disk. This example shows the other
 production pattern: a LIVE source (camera / RTSP / frame queue) served
 clip-by-clip with the recurrent state chained across dispatches — the
 exact loop bench.py measures (docs/PERF.md: ~1541 FPS at 360x640 bf16 on
-one TPU v5e chip with baked-constant serving, 6 ms/clip in the S=5
+one TPU v5e chip with baked-constant serving, 5.45 ms/clip in the S=5
 latency mode).
 
 Key moves (see docs/PERF.md "What was optimized"):

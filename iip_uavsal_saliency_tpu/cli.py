@@ -407,6 +407,18 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     cfg_path, methods, vis_opts, rest = _split_cli(rest, cmd)
     cfg = load_config(cfg_path, rest)
 
+    # Persistent XLA compile cache (seeded from a committed serving_cache/
+    # when running from a checkout): every subcommand jits the model, and
+    # without this a fresh host pays the full ~6 min XLA compile before
+    # frame 1 (utils/compile_cache.py).
+    from .utils.compile_cache import setup_compile_cache
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if not os.access(root, os.W_OK):  # e.g. a read-only site-packages
+        root = os.path.join(os.path.expanduser("~"), ".cache", "uavsal_tpu")
+        os.makedirs(root, exist_ok=True)
+    setup_compile_cache(root)
+
     if cmd == "train":
         cmd_train(cfg)
     elif cmd == "train-img":

@@ -27,8 +27,9 @@ def _read_frames(cap, max_frames, transform):
     preallocated from the header frame count. The header is a capacity HINT,
     not a bound: headers that UNDERcount (VFR / stream-muxed files, count=0
     webms) grow geometrically in place (amortized O(n) copy work); headers
-    that mildly OVERcount trim to a view; headers that overcount 2x+ trim
-    with a copy (so the oversized base buffer is freed). The INITIAL
+    that mildly OVERcount trim to a view; headers that overcount 2x+ (or by
+    >256 MB of slack) trim with a copy (so the oversized base buffer is
+    freed). The INITIAL
     prealloc is capped at ~4 GiB against corrupt headers claiming billions
     of frames — legitimately longer videos still decode, growing past the
     cap by doubling (peak transient RAM during a growth step is old+new,
@@ -52,17 +53,25 @@ def _read_frames(cap, max_frames, transform):
             cap_frames = max(1, (4 << 30) // max(f.nbytes, 1))
             buf = np.empty((min(hint, cap_frames),) + f.shape, f.dtype)
         if n == buf.shape[0]:
-            # full (undercounting header, or the corrupt-header cap): double
-            grown = np.empty((max(2 * n, 16),) + f.shape, f.dtype)
+            # full (undercounting header, or the corrupt-header cap): double,
+            # but never past a still-credible header hint — a legit long
+            # video that exceeded the prealloc cap grows toward its header
+            # count instead of overshooting it by up to 2x
+            new_n = max(2 * n, 16)
+            if header_n > n:
+                new_n = max(min(new_n, int(min(header_n, max_frames))), n + 1)
+            grown = np.empty((new_n,) + f.shape, f.dtype)
             grown[:n] = buf
             buf = grown
         buf[n] = f
         n += 1
     if buf is None:
         return None, 0
-    if n * 2 < buf.shape[0]:
+    slack_bytes = (buf.shape[0] - n) * buf[0].nbytes
+    if n * 2 < buf.shape[0] or slack_bytes > (256 << 20):
         # overcounting header: buf[:n] is a view pinning the whole hint-sized
         # base allocation for the array's lifetime — copy so it's released
+        # (relative 2x slack, or >256 MB absolute slack on long videos)
         frames = buf[:n].copy()
     else:
         frames = buf[:n]

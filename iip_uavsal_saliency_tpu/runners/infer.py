@@ -185,6 +185,7 @@ def test_videos(
         gauss = None if gauss is None else jax.device_put(gauss, rep)
         ob = None if ob is None else jax.device_put(ob, rep)
 
+    injected_step = infer_step is not None  # AOT step: V is baked into it
     if infer_step is None:
         if mesh is None and bake_params:
             from ..parallel.steps import make_baked_infer_step
@@ -249,7 +250,7 @@ def test_videos(
 
             v = len(decoded)
             if v < v_per and (len(groups) > 1 or mesh is not None
-                              or infer_step is not None):
+                              or injected_step):
                 # ragged FINAL group: pad with zero-frame dummy entries so
                 # the (V, ...) shapes match the already-compiled program —
                 # an unpadded last group would recompile the whole model

@@ -533,6 +533,42 @@ def test_infer_ragged_final_group(trained, video_dataset, tmp_path_factory):
         assert sal.max() == 255
 
 
+def test_infer_lone_group_skips_padding(trained, tmp_path_factory, monkeypatch):
+    """A LONE group smaller than videos_per_batch (single-chip, no injected
+    AOT step) must run at its TRUE V: nothing is compiled yet, so padding to
+    v_per would only buy dummy compute (regression: the skip condition once
+    tested `infer_step is not None` after infer_step was already built,
+    making it always true and padding every lone group)."""
+    trainer, state, _ = trained
+    src = tmp_path_factory.mktemp("lone_vids")
+    _write_video(os.path.join(str(src), "only.avi"), np.random.RandomState(3))
+    out_path = str(tmp_path_factory.mktemp("lone_out"))
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    import iip_uavsal_saliency_tpu.runners.infer as infer_mod
+
+    seen_v = []
+    real_make = infer_mod.make_infer_step
+
+    def spy_make(*a, **k):
+        step = real_make(*a, **k)
+
+        def wrapped(p, b, x, g, o, st):
+            seen_v.append(int(x.shape[0]))
+            return step(p, b, x, g, o, st)
+
+        return wrapped
+
+    monkeypatch.setattr(infer_mod, "make_infer_step", spy_make)
+    run_test_videos(
+        str(src), out_path, trainer.model, variables,
+        iosize=IOSIZE, batch_size=1, time_dims=TIME_DIMS, bias_type=(1, 0, 1),
+        method_name="Lone", videos_per_batch=4, bake_params=False,
+    )
+    assert seen_v and set(seen_v) == {1}, seen_v
+    assert sorted(os.listdir(os.path.join(out_path, "Lone"))) == ["only.mat"]
+
+
 def test_bf16_serving_metric_parity(trained, video_dataset, tmp_path_factory):
     """The DEFAULT serving path (serve_bf16=True + fold_bn=True, the exact
     config `cli test` runs) must hold the accuracy north star at the METRIC

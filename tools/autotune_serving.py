@@ -22,7 +22,11 @@ FPS.
 Usage:
     python tools/autotune_serving.py [--candidates 4,8,16,32]
         [--video-candidates 1,2,4] [--height 360] [--width 640]
-        [--dtype bf16] [--steps 12]
+        [--dtype bf16] [--steps 12] [--bake true]
+
+`--bake true` (default) tunes the baked-constant step — the form
+production single-chip serving runs; `--bake false` tunes the
+argument-passing step (the multi-chip / AB-comparison form).
 
 Prints one JSON line:
   {"best_clips": N, "best_videos": V, "best_fps": F, "results": {...}}.
@@ -42,12 +46,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def measure_streaming(model, variables, h, w, clips, time_dims, videos,
-                      steps, repeats, compute_dtype):
-    """Best-of-N streaming FPS for one serving shape (bench.py methodology)."""
+                      steps, repeats, compute_dtype, bake=True):
+    """Best-of-N streaming FPS for one serving shape (bench.py methodology).
+
+    `bake=True` (default) measures the baked-constant step — the form
+    production single-chip serving actually runs (`test_videos`
+    bake_params=True); the +11.7% baked delta is shape-dependent (it folds
+    the constant-prior conv stack, whose relative cost varies with S and V),
+    so tuning the argument-passing step can pick the wrong winner."""
     import jax
     import jax.numpy as jnp
 
-    from iip_uavsal_saliency_tpu.parallel.steps import make_infer_step
+    from iip_uavsal_saliency_tpu.parallel.steps import (
+        make_baked_infer_step,
+        make_infer_step,
+    )
 
     s = clips * time_dims
     rng = np.random.RandomState(0)
@@ -63,7 +76,14 @@ def measure_streaming(model, variables, h, w, clips, time_dims, videos,
             )
         )((gauss, ob, state))
 
-    infer = make_infer_step(model, compute_dtype=compute_dtype, donate_state=True)
+    if bake:
+        baked = make_baked_infer_step(model, variables, gauss=gauss, ob=ob,
+                                      compute_dtype=compute_dtype,
+                                      donate_state=True)
+        infer = lambda p, b, x, g, o, st: baked(x, st)  # noqa: E731
+    else:
+        infer = make_infer_step(model, compute_dtype=compute_dtype,
+                                donate_state=True)
     params, batch_stats = variables["params"], variables.get("batch_stats", {})
 
     out, st = infer(params, batch_stats, x, gauss, ob, state)
@@ -101,6 +121,11 @@ def main():
     ap.add_argument("--steps", type=int, default=12)
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--dtype", choices=["f32", "bf16"], default="bf16")
+    ap.add_argument("--bake", type=lambda s: s.lower() in ("1", "true", "yes"),
+                    default=True,
+                    help="measure the baked-constant serving step (the "
+                         "production default); false measures the "
+                         "argument-passing step")
     args = ap.parse_args()
     # --videos is the pre-sweep spelling: it must keep controlling what gets
     # MEASURED, so it becomes the candidate list unless one was given
@@ -109,14 +134,12 @@ def main():
     elif args.videos != 1:
         ap.error("pass either --videos V or --video-candidates V1,V2,... (not both)")
 
-    import jax
+    from iip_uavsal_saliency_tpu.utils.compile_cache import setup_compile_cache
 
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                     ".jax_cache"),
-    )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+    setup_compile_cache(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+    import jax
     import jax.numpy as jnp
 
     from iip_uavsal_saliency_tpu.models import UAVSal, init_variables
@@ -145,7 +168,7 @@ def main():
         for clips in [int(c) for c in args.candidates.split(",")]:
             r = measure_streaming(
                 model, variables, h, w, clips, t, videos,
-                args.steps, args.repeats, compute_dtype,
+                args.steps, args.repeats, compute_dtype, bake=args.bake,
             )
             r["videos"] = videos
             results[f"c{clips}_v{videos}"] = r

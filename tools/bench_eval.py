@@ -36,14 +36,10 @@ def main():
                          "ever add time — bench.py methodology)")
     args = ap.parse_args()
 
-    import jax
+    from iip_uavsal_saliency_tpu.utils.compile_cache import setup_compile_cache
 
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                     ".jax_cache"),
-    )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+    setup_compile_cache(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
     from iip_uavsal_saliency_tpu.data.matio import savemat
     from iip_uavsal_saliency_tpu.evaluation.scorer import KEYS_ORDER, evalscores_vid

@@ -70,15 +70,12 @@ def build_dataset(root):
 
 
 def main():
-    import jax
+    from iip_uavsal_saliency_tpu.utils.compile_cache import setup_compile_cache
 
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                     ".jax_cache"),
-    )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
-    jax.config.update("jax_remove_custom_partitioning_ptr_from_cache_key", True)
+    setup_compile_cache(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+    import jax
     import jax.numpy as jnp
 
     from iip_uavsal_saliency_tpu.evaluation.scorer import evalscores_vid, mean_scores
