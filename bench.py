@@ -54,8 +54,7 @@ def main():
     ap.add_argument("--twa", choices=["auto", "pallas", "xla"], default="auto",
                     help="TWA recurrence (auto picks the fused Pallas kernel "
                          "whenever supported — TPU + bf16; xla forces the scan)")
-    ap.add_argument("--bake", type=lambda s: s.lower() in ("1", "true", "yes"),
-                    default=True,
+    ap.add_argument("--bake", choices=["true", "false"], default="true",
                     help="bake params/priors into the program as constants "
                          "(the production serving form, +11.7%%); false "
                          "measures the argument-passing step")
@@ -67,6 +66,7 @@ def main():
                          "serving headline — real serving feeds fresh "
                          "input per step)")
     args = ap.parse_args()
+    args.bake = args.bake == "true"
 
     repo = os.path.dirname(os.path.abspath(__file__))
     # Shared cache policy (seed from the committed serving_cache/, stable

@@ -125,6 +125,11 @@ def cmd_train(cfg: Config):
     )
     pre_vars = None
     if cfg.pre_model_path:
+        # --model-path accepts BOTH a video-model checkpoint (warm start /
+        # fine-tune) and a SALICON image-stage checkpoint from `train-img`
+        # (the Trainer detects the SRFNetImage tree and transplants the
+        # pretrained neck via models.transfer_sfnet — the reference's
+        # 3-stage recipe, README.md:60).
         from .training.checkpoint import load_checkpoint
 
         ckpt = load_checkpoint(cfg.pre_model_path)
@@ -143,14 +148,16 @@ def cmd_train(cfg: Config):
 
 
 def cmd_train_img(cfg: Config):
-    """SALICON SRF-Net pretraining stage (reference pipeline README.md:60);
-    the resulting checkpoint transplants into the video model via
-    models.transfer_sfnet (or pass it as --model-path to `train`)."""
+    """SALICON SRF-Net pretraining stage (reference pipeline README.md:60).
+    Pass the resulting `<method>_srfnet_final.ckpt` as --model-path to
+    `train`: the Trainer detects the image-stage tree and transplants the
+    pretrained neck via models.transfer_sfnet automatically."""
     from .training.image_trainer import ImageTrainConfig, train_salicon
 
     tc = ImageTrainConfig(
         method_name=f"{cfg.method_name}_srfnet",
         cnn_type=cfg.cnn_type,
+        iosize=cfg.img_iosize,
         batch_size=cfg.batch_size,
         epochs=cfg.epochs,
         learning_rate=cfg.learning_rate,
@@ -404,20 +411,28 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
             }[cmd]
             raise SystemExit(f"usage: {usage}")
         rest = flags
-    cfg_path, methods, vis_opts, rest = _split_cli(rest, cmd)
-    cfg = load_config(cfg_path, rest)
-
     # Persistent XLA compile cache (seeded from a committed serving_cache/
     # when running from a checkout): every subcommand jits the model, and
     # without this a fresh host pays the full ~6 min XLA compile before
-    # frame 1 (utils/compile_cache.py).
+    # frame 1 (utils/compile_cache.py). Set up BEFORE config parsing so any
+    # future config path that jits is covered too.
     from .utils.compile_cache import setup_compile_cache
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    if not os.access(root, os.W_OK):  # e.g. a read-only site-packages
+    # Use the package parent only when it is a repo CHECKOUT (it carries the
+    # committed serving_cache/ seed or a .git marker) — for an installed
+    # package (even a writable site-packages) there is no seed there and a
+    # .jax_cache would just pollute the install; use the user cache dir.
+    is_checkout = os.path.isdir(os.path.join(root, "serving_cache")) or os.path.isdir(
+        os.path.join(root, ".git")
+    )
+    if not is_checkout or not os.access(root, os.W_OK):
         root = os.path.join(os.path.expanduser("~"), ".cache", "uavsal_tpu")
         os.makedirs(root, exist_ok=True)
     setup_compile_cache(root)
+
+    cfg_path, methods, vis_opts, rest = _split_cli(rest, cmd)
+    cfg = load_config(cfg_path, rest)
 
     if cmd == "train":
         cmd_train(cfg)

@@ -22,5 +22,5 @@ from .uavsal import (
     init_variables,
     MODEL_ZOO,
 )
-from .srfnet_image import SRFNetImage, transfer_sfnet
+from .srfnet_image import SRFNetImage, is_image_stage_variables, transfer_sfnet
 from .adapters import ZooModelAdapter, build_adapted_model

@@ -40,10 +40,28 @@ class SRFNetImage(nn.Module):
         return jax.nn.sigmoid(out)
 
 
+def is_image_stage_variables(variables) -> bool:
+    """True when `variables` is an `SRFNetImage` tree (the SALICON stage's
+    checkpoint layout: exactly {sfnet, conv_out} at the top of params).
+
+    The exact-set test matters: several video ablation variants also name
+    their neck `sfnet` at the top level (models/uavsal.py UAVSalSpConv etc.),
+    but they always carry additional heads (fust_layer/conv_out_st), so only
+    the image stage matches. The Trainer and `cli train` use this to
+    auto-route a `--model-path` at an image checkpoint through
+    `transfer_sfnet` instead of loading it as video-model variables
+    (reference 3-stage recipe: README.md:60)."""
+    params = variables.get("params", {})
+    return isinstance(params, dict) and set(params.keys()) == {"sfnet", "conv_out"}
+
+
 def transfer_sfnet(image_variables, video_variables):
     """Copy the pretrained SRF-Net subtree from an `SRFNetImage` variables
-    dict into a `UAVSal` variables dict (params + batch_stats), returning the
-    updated video variables (inputs are not mutated)."""
+    dict into a `UAVSal` (or zoo-variant) variables dict (params +
+    batch_stats), returning the updated video variables (inputs are not
+    mutated). The destination is wherever the video tree keeps its neck:
+    `trunk/sfnet` for the full model, top-level `sfnet` for the variants
+    that inline it (reference classes at model.py:582-957)."""
     import flax
 
     video_variables = flax.core.unfreeze(
@@ -51,7 +69,14 @@ def transfer_sfnet(image_variables, video_variables):
     )
     for col in ("params", "batch_stats"):
         src = image_variables[col]["sfnet"]
-        video_variables[col]["trunk"]["sfnet"] = jax.tree_util.tree_map(
-            lambda a: a, src
-        )
+        dst = video_variables[col]
+        if "trunk" in dst and "sfnet" in dst["trunk"]:
+            dst = dst["trunk"]
+        elif "sfnet" not in dst:
+            raise ValueError(
+                "video variables have no sfnet subtree (neither trunk/sfnet "
+                "nor top-level sfnet) — cannot transplant the image-stage "
+                f"SRF-Net; top-level keys: {sorted(dst.keys())}"
+            )
+        dst["sfnet"] = jax.tree_util.tree_map(lambda a: a, src)
     return video_variables

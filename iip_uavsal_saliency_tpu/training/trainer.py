@@ -180,13 +180,12 @@ class Trainer:
         s_frames = config.batch_size * config.time_dims
         dummy_x = jnp.zeros((1, s_frames, shape_r, shape_c, 3), jnp.float32)
         dummy_state = self.model.init_state(shape_r, shape_c, 1)
-        if pre_variables is None:
-            from ..models import init_variables
+        from ..models import is_image_stage_variables
 
-            variables = init_variables(
-                self.model, jax.random.PRNGKey(0), dummy_x, self.gauss, self.ob, dummy_state
-            )
-        else:
+        image_stage = pre_variables is not None and is_image_stage_variables(
+            pre_variables
+        )
+        if pre_variables is not None:
             from ..ops.fold import looks_folded
 
             if looks_folded(pre_variables):
@@ -198,6 +197,26 @@ class Trainer:
                     "e.g. load_model_for_inference(..., fold_bn=False) or "
                     "training.checkpoint.load_checkpoint directly."
                 )
+        if pre_variables is None or image_stage:
+            from ..models import init_variables
+
+            variables = init_variables(
+                self.model, jax.random.PRNGKey(0), dummy_x, self.gauss, self.ob, dummy_state
+            )
+            if image_stage:
+                # SALICON SRF-Net warm start (reference 3-stage recipe,
+                # README.md:60): the checkpoint is an SRFNetImage tree, not
+                # video-model variables — transplant the pretrained neck
+                # into the freshly initialized video model.
+                from ..models import transfer_sfnet
+
+                variables = transfer_sfnet(pre_variables, variables)
+                log.info(
+                    "image-stage checkpoint detected: transplanted the "
+                    "SALICON-pretrained SRF-Net into the video model "
+                    "(models.transfer_sfnet)"
+                )
+        else:
             variables = pre_variables
 
         mask = make_frozen_mask(variables["params"], config.freeze) if config.freeze else None

@@ -32,6 +32,8 @@ class Config:
     model_name: str = "uavsal"  # any models.MODEL_ZOO name
     cnn_type: str = "mobilenet_v2"
     iosize: Tuple[int, int, int, int] = (360, 640, 45, 80)
+    # SALICON image-stage iosize for `train-img` (reference: dataset.py:90)
+    img_iosize: Tuple[int, int, int, int] = (480, 640, 60, 80)
     time_dims: int = 5
     num_stblock: int = 2
     # ST-block ordering for the uavsal_stblocks_type ablation: st / s2t /

@@ -841,3 +841,81 @@ def test_best_ckpt_written_before_epoch_ckpt(trained, monkeypatch):
     best_i = order.index("TinyUAVSal_best.ckpt")
     epoch_i = next(i for i, n in enumerate(order) if "_00_" in n)
     assert best_i < epoch_i, order
+
+
+def test_cli_three_stage_recipe(video_dataset, tmp_path_factory):
+    """The reference's documented 3-stage recipe end-to-end from the CLI
+    (reference: README.md:60 — ImageNet -> SRF-Net on SALICON -> full model):
+    `train-img` produces an image-stage checkpoint, `train --model-path` it
+    (the Trainer auto-detects the SRFNetImage tree and transplants the neck
+    via transfer_sfnet), then `test` serves the trained model. The default
+    freeze covers trunk/sfnet, so the final video checkpoint must carry the
+    image stage's sfnet weights EXACTLY."""
+    import scipy.io
+
+    from iip_uavsal_saliency_tpu.cli import main as cli_main
+
+    data_dir = str(tmp_path_factory.mktemp("cli3data"))
+    save_dir = str(tmp_path_factory.mktemp("cli3weights"))
+    priors = str(tmp_path_factory.mktemp("cli3priors"))
+
+    # stage-1 data: tiny SALICON layout under <data_dir>/salicon-15
+    rng = np.random.RandomState(0)
+    for classes, n in [("train", 4), ("val", 2)]:
+        base = os.path.join(data_dir, "salicon-15", classes)
+        for d in ["images", "maps", os.path.join("fixations", "maps")]:
+            os.makedirs(os.path.join(base, d), exist_ok=True)
+        for i in range(n):
+            name = f"img_{i:03d}"
+            cv2.imwrite(os.path.join(base, "images", name + ".jpg"),
+                        rng.randint(0, 255, (32, 48, 3), np.uint8))
+            cv2.imwrite(os.path.join(base, "maps", name + ".png"),
+                        rng.randint(0, 255, (32, 48), np.uint8))
+            fix = (rng.rand(32, 48) > 0.97).astype(np.uint8)
+            fix[16, 24] = 1
+            scipy.io.savemat(
+                os.path.join(base, "fixations", "maps", name + ".mat"),
+                {"I": fix},
+            )
+    # stage-2/3 data: the synthetic video fixture, linked in under the exact
+    # dataset names so cfg.ext resolves to .avi; Results/ land in OUR tmp
+    # UAV2-TE dir, keeping the shared fixture pristine
+    os.symlink(video_dataset, os.path.join(data_dir, "UAV2"))
+    os.makedirs(os.path.join(data_dir, "UAV2-TE"))
+    os.symlink(os.path.join(video_dataset, "Videos"),
+               os.path.join(data_dir, "UAV2-TE", "Videos"))
+
+    common = [
+        "--data_dir", data_dir, "--save_model_dir", save_dir,
+        "--priors_cache_dir", priors, "--method_name", "E2E",
+        "--epochs", "1", "--is_early_stop", "false",
+    ]
+    rc = cli_main(["train-img", "--img_iosize", "64,64,8,8",
+                   "--batch_size", "2"] + common)
+    assert rc == 0
+    img_ckpt = os.path.join(save_dir, "E2E_srfnet", "E2E_srfnet_final.ckpt")
+    assert os.path.exists(img_ckpt)
+
+    rc = cli_main(["train", "--model-path", img_ckpt,
+                   "--iosize", "64,64,8,8", "--time_dims", "2",
+                   "--batch_size", "1", "--bias_type", "1,0,1"] + common)
+    assert rc == 0
+    vid_ckpt = os.path.join(save_dir, "E2E", "E2E_final.ckpt")
+    assert os.path.exists(vid_ckpt)
+
+    # the transplanted (and frozen-by-default) neck survives training intact
+    img_vars = load_checkpoint(img_ckpt)
+    vid_vars = load_checkpoint(vid_ckpt)
+    got = vid_vars["params"]["trunk"]["sfnet"]["conv_last"]["conv"]["kernel"]
+    want = img_vars["params"]["sfnet"]["conv_last"]["conv"]["kernel"]
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    rc = cli_main(["test", "--iosize", "64,64,8,8", "--time_dims", "2",
+                   "--test_batch_size", "2", "--bias_type", "1,0,1"] + common)
+    assert rc == 0
+    sal_dir = os.path.join(data_dir, "UAV2-TE", "Results", "Results_E2E",
+                           "Saliency", "E2E")
+    mats = sorted(os.listdir(sal_dir))
+    assert mats == ["vid_a.mat", "vid_b.mat"]
+    sal = loadmat(os.path.join(sal_dir, "vid_a.mat"), "salmap")
+    assert sal.shape == (NATIVE_H, NATIVE_W, 1, NFRAMES) and sal.dtype == np.uint8

@@ -121,12 +121,12 @@ def main():
     ap.add_argument("--steps", type=int, default=12)
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--dtype", choices=["f32", "bf16"], default="bf16")
-    ap.add_argument("--bake", type=lambda s: s.lower() in ("1", "true", "yes"),
-                    default=True,
+    ap.add_argument("--bake", choices=["true", "false"], default="true",
                     help="measure the baked-constant serving step (the "
                          "production default); false measures the "
                          "argument-passing step")
     args = ap.parse_args()
+    args.bake = args.bake == "true"
     # --videos is the pre-sweep spelling: it must keep controlling what gets
     # MEASURED, so it becomes the candidate list unless one was given
     if args.video_candidates is None:
