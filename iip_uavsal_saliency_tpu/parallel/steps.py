@@ -282,9 +282,9 @@ def make_eval_step(model, loss_fn: Callable = loss_fu, mesh=None,
 
 def make_baked_infer_step(model, variables, gauss=None, ob=None,
                           compute_dtype=None, out_dtype=None,
-                          donate_state: bool = False):
-    """Single-chip serving step with params/stats/priors BAKED IN as
-    compile-time constants: `step(x, state) -> (sal, state)`.
+                          donate_state: bool = False, mesh=None):
+    """Serving step with params/stats/priors BAKED IN as compile-time
+    constants: `step(x, state) -> (sal, state)`.
 
     Weights never change in serving, so passing them as arguments every
     dispatch wastes both dispatch marshalling (~300 buffer handles/step)
@@ -299,8 +299,15 @@ def make_baked_infer_step(model, variables, gauss=None, ob=None,
 
     `variables`/priors are snapshotted to host np arrays at build time;
     pre-cast them (or pass compute_dtype, which also casts them here).
-    Single-chip only — multi-chip serving keeps the shard_map path in
-    make_infer_step (constants replicate implicitly there anyway)."""
+
+    `mesh`: a pure-'data' Mesh composes baking with multi-chip DP serving —
+    the baked per-device program runs under `jax.shard_map` over 'data'
+    (the same construction as make_infer_step's DP branch), with the
+    constants replicated into every shard's program at compile time, so
+    multi-chip serving sheds the same ~300-buffer-handle dispatch tax that
+    baking removed single-chip. Meshes that shard non-'data' axes are
+    rejected: baking buys nothing under GSPMD resharding — use
+    make_infer_step there."""
     import numpy as np
 
     def _np(t):
@@ -316,14 +323,66 @@ def make_baked_infer_step(model, variables, gauss=None, ob=None,
     np_vars = _np(variables)
     np_gauss = None if gauss is None else _np(gauss)
     np_ob = None if ob is None else _np(ob)
-    inner = make_infer_step(model, compute_dtype=compute_dtype,
+    inner = _build_infer_fn(model, compute_dtype=compute_dtype,
                             out_dtype=out_dtype)
 
     def step(x, state):
         return inner(np_vars["params"], np_vars.get("batch_stats", {}),
                      x, np_gauss, np_ob, state)
 
-    return jax.jit(step, donate_argnums=(1,) if donate_state else ())
+    donate = (1,) if donate_state else ()
+    if mesh is None or mesh.size == 1:
+        return jax.jit(step, donate_argnums=donate)
+    if not _data_only_mesh(mesh):
+        raise ValueError(
+            f"make_baked_infer_step wants a pure-'data' mesh (got "
+            f"{dict(mesh.shape)}); meshes sharding seq/spatial/model "
+            "should use make_infer_step's GSPMD path instead"
+        )
+    from jax.sharding import PartitionSpec as P
+
+    x_spec = P("data", None, None, None, None)
+    s_ndim = jax.eval_shape(lambda: model.init_state(8, 8, 1)).ndim
+    s_spec = P("data", *([None] * (s_ndim - 1)))
+    # check_vma=False for the same reason as make_infer_step's DP branch:
+    # no collectives in the per-device eval program, and the Pallas TWA
+    # custom call can't declare varying mesh axes on its out_shape
+    sm = jax.shard_map(
+        step, mesh=mesh, in_specs=(x_spec, s_spec),
+        out_specs=(x_spec, s_spec), check_vma=False,
+    )
+    return jax.jit(sm, donate_argnums=donate)
+
+
+def _build_infer_fn(model, out_dtype=None, compute_dtype=None):
+    """The raw (unjitted) eval-mode forward used by every serving wrapper:
+    `fn(params, batch_stats, x, gauss, ob, rnn_state) -> (sal, new_state)`.
+    uint8 frames normalize on-device; compute_dtype=bf16 casts activations,
+    carried state, and priors at the step boundary."""
+    from ..data.letterbox import IMAGENET_MEAN, IMAGENET_STD
+
+    mean = jnp.asarray(IMAGENET_MEAN)
+    std = jnp.asarray(IMAGENET_STD)
+
+    def step(params, batch_stats, x, gauss, ob, rnn_state):
+        if x.dtype == jnp.uint8:
+            x = x.astype(jnp.float32) / 255.0
+            x = (x - mean) / std
+        if compute_dtype is not None:
+            # cast the carried state (and priors) too: a caller passing the
+            # model's default f32 init_state would otherwise feed the TWA
+            # kernel mismatched dtypes (Mosaic DMA error on TPU)
+            x = x.astype(compute_dtype)
+            rnn_state = rnn_state.astype(compute_dtype)
+            gauss = None if gauss is None else gauss.astype(compute_dtype)
+            ob = None if ob is None else ob.astype(compute_dtype)
+        out, new_rnn = model.apply(
+            {"params": params, "batch_stats": batch_stats}, x, gauss, ob, rnn_state
+        )
+        out = out.astype(out_dtype if out_dtype is not None else jnp.float32)
+        return out, new_rnn
+
+    return step
 
 
 def make_infer_step(model, mesh=None, out_dtype=None, compute_dtype=None,
@@ -351,28 +410,7 @@ def make_infer_step(model, mesh=None, out_dtype=None, compute_dtype=None,
     dp_shard_map = mesh is not None and mesh.size > 1 and _data_only_mesh(mesh)
     if not dp_shard_map:
         model = _partitionable_model(model, mesh)
-    from ..data.letterbox import IMAGENET_MEAN, IMAGENET_STD
-
-    mean = jnp.asarray(IMAGENET_MEAN)
-    std = jnp.asarray(IMAGENET_STD)
-
-    def step(params, batch_stats, x, gauss, ob, rnn_state):
-        if x.dtype == jnp.uint8:
-            x = x.astype(jnp.float32) / 255.0
-            x = (x - mean) / std
-        if compute_dtype is not None:
-            # cast the carried state (and priors) too: a caller passing the
-            # model's default f32 init_state would otherwise feed the TWA
-            # kernel mismatched dtypes (Mosaic DMA error on TPU)
-            x = x.astype(compute_dtype)
-            rnn_state = rnn_state.astype(compute_dtype)
-            gauss = None if gauss is None else gauss.astype(compute_dtype)
-            ob = None if ob is None else ob.astype(compute_dtype)
-        out, new_rnn = model.apply(
-            {"params": params, "batch_stats": batch_stats}, x, gauss, ob, rnn_state
-        )
-        out = out.astype(out_dtype if out_dtype is not None else jnp.float32)
-        return out, new_rnn
+    step = _build_infer_fn(model, out_dtype=out_dtype, compute_dtype=compute_dtype)
 
     donate = (5,) if donate_state else ()
     if mesh is None:

@@ -130,12 +130,14 @@ def test_videos(
     serving path (runners/export.run_exported), whose step has the weights
     and priors baked into the artifact. Mutually exclusive with `mesh`.
 
-    `bake_params` (default on, single-chip only): embed params/stats/priors
-    as compile-time CONSTANTS in the serving program instead of passing
-    them as arguments — XLA folds the eval-BN affines and precomputes the
-    constant-prior conv stack; measured +11.7% FPS at the tuned serving
-    shape (parallel/steps.make_baked_infer_step). Outputs match the
-    argument-passing step to f32 rounding (tests/test_pipeline.py).
+    `bake_params` (default on): embed params/stats/priors as compile-time
+    CONSTANTS in the serving program instead of passing them as arguments —
+    XLA folds the eval-BN affines and precomputes the constant-prior conv
+    stack; measured +11.7% FPS at the tuned serving shape
+    (parallel/steps.make_baked_infer_step). Composes with a pure-'data'
+    mesh (the baked program runs per device under shard_map); meshes that
+    shard other axes fall back to the argument-passing GSPMD step. Outputs
+    match the argument-passing step to f32 rounding (tests/test_pipeline.py).
     """
     if infer_step is not None and mesh is not None:
         raise ValueError("pass either a pre-built infer_step or a mesh, not both")
@@ -187,11 +189,17 @@ def test_videos(
 
     injected_step = infer_step is not None  # AOT step: V is baked into it
     if infer_step is None:
-        if mesh is None and bake_params:
+        from ..parallel.steps import _data_only_mesh
+
+        if bake_params and (mesh is None or _data_only_mesh(mesh)):
+            # baked-constant serving composes with multi-chip DP: a pure
+            # 'data' mesh runs the baked per-device program under shard_map
+            # (constants replicate at compile time), so DP serving sheds the
+            # same per-dispatch buffer marshalling as single-chip (+11.7%)
             from ..parallel.steps import make_baked_infer_step
 
             baked = make_baked_infer_step(
-                model, variables, gauss=gauss, ob=ob,
+                model, variables, gauss=gauss, ob=ob, mesh=mesh,
                 compute_dtype=compute_dtype, donate_state=True,
             )
             infer_step = lambda p, b, x, g, o, st: baked(x, st)  # noqa: E731

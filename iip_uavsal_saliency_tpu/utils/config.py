@@ -62,7 +62,8 @@ class Config:
     dp_devices: int = 1
     serve_bf16: bool = True    # bf16 serving path for `test` (f32: parity)
     # embed params/priors as compile-time constants in the serving program
-    # (single-chip; +11.7% measured — docs/PERF.md "Baked-constant serving")
+    # (+11.7% measured, composes with --dp_devices DP serving — docs/PERF.md
+    # "Baked-constant serving")
     bake_params: bool = True
     fold_bn: bool = True       # fold eval BN into convs at serving load
     # `export` target platforms, comma-separated (e.g. "tpu" to cross-lower

@@ -919,3 +919,49 @@ def test_cli_three_stage_recipe(video_dataset, tmp_path_factory):
     assert mats == ["vid_a.mat", "vid_b.mat"]
     sal = loadmat(os.path.join(sal_dir, "vid_a.mat"), "salmap")
     assert sal.shape == (NATIVE_H, NATIVE_W, 1, NFRAMES) and sal.dtype == np.uint8
+
+
+def test_baked_dp_serving_matches_argument_dp(trained, video_dataset,
+                                              tmp_path_factory):
+    """Baked-constant serving composes with multi-chip DP (round 5:
+    make_baked_infer_step(mesh=...) wraps the baked per-device program in
+    shard_map over 'data'): on a data=2 mesh the baked step must write the
+    same salmaps as the argument-passing shard_map step, to the one-uint8
+    constant-folding tolerance."""
+    import jax as _jax
+
+    from iip_uavsal_saliency_tpu.parallel.mesh import make_mesh
+
+    trainer, state, final = trained
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    mesh = make_mesh(n_data=2, devices=_jax.devices()[:2])
+    common = dict(iosize=IOSIZE, batch_size=1, time_dims=TIME_DIMS,
+                  bias_type=(1, 0, 1), videos_per_batch=2, mesh=mesh)
+    out_b = str(tmp_path_factory.mktemp("dpbake_on"))
+    out_a = str(tmp_path_factory.mktemp("dpbake_off"))
+    run_test_videos(video_dataset + "/Videos", out_b, trainer.model, variables,
+                    method_name="B", bake_params=True, **common)
+    run_test_videos(video_dataset + "/Videos", out_a, trainer.model, variables,
+                    method_name="A", bake_params=False, **common)
+    for name in ("vid_a", "vid_b"):
+        b = loadmat(os.path.join(out_b, "B", name + ".mat"), "salmap")
+        a = loadmat(os.path.join(out_a, "A", name + ".mat"), "salmap")
+        assert b.shape == a.shape
+        diff = np.abs(b.astype(np.int16) - a.astype(np.int16))
+        assert diff.max() <= 1, f"{name}: max uint8 diff {diff.max()}"
+
+
+def test_baked_step_rejects_nondata_mesh(trained):
+    """Baking buys nothing under GSPMD resharding; a mesh with a non-'data'
+    axis > 1 must be rejected loudly, not silently serve slower."""
+    import jax as _jax
+    import pytest as _pytest
+
+    from iip_uavsal_saliency_tpu.parallel.mesh import make_mesh
+    from iip_uavsal_saliency_tpu.parallel.steps import make_baked_infer_step
+
+    trainer, state, final = trained
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    mesh = make_mesh(n_data=2, n_spatial=2, devices=_jax.devices()[:4])
+    with _pytest.raises(ValueError, match="pure-'data' mesh"):
+        make_baked_infer_step(trainer.model, variables, mesh=mesh)
