@@ -121,6 +121,7 @@ def cmd_train(cfg: Config):
         resume=cfg.resume,
         mixed_precision=cfg.mixed_precision,
         remat=cfg.remat,
+        donate=cfg.donate,
         prefetch_decode=cfg.prefetch_decode,
     )
     pre_vars = None

@@ -80,6 +80,9 @@ class TrainConfig:
     mixed_precision: bool = False  # bf16 compute, f32 masters (~2x step speed)
     remat: bool = False          # recompute fwd in bwd: big clips in less HBM
     prefetch_decode: bool = True  # decode video k+1 while k steps on device
+    donate: bool = False         # in-place TrainState update: ~150 MB less
+    # peak HBM, but measured SLOWER on TPU v5e (docs/PERF.md) — HBM-headroom
+    # opt-in like remat, not a default
 
 
 def _masked_loss(loss_fn: Callable):
@@ -237,8 +240,21 @@ class Trainer:
 
             shardings = train_state_shardings(mesh, self.state)
             self.state = jax.device_put(self.state, shardings)
+        # donate: in-place TrainState update — XLA reuses the params +
+        # Adam-moment buffers (~150 MB f32 at the flagship size) instead of
+        # re-allocating each step. Correct either way (the best-epoch
+        # snapshot is device_get to HOST arrays — see _snapshot — so nothing
+        # aliases donated buffers across steps), but measured on TPU v5e at
+        # the V=1 S=30 360x640 flagship shape it is ~9% SLOWER in f32
+        # (448 vs 412 ms/step) and ~1% slower in bf16 — the aliasing
+        # constraint forces copies in the Adam update that cost more than
+        # the allocator saves (tools/bench_train.py, interleaved A/B;
+        # docs/PERF.md "Training throughput"). Default off; opt in via
+        # TrainConfig.donate when a big clip shape needs the HBM headroom
+        # (it composes with --remat).
         self.train_step = make_train_step(
-            self.model, self.tx, loss_fn=_masked_loss(loss), mesh=mesh, donate=False,
+            self.model, self.tx, loss_fn=_masked_loss(loss), mesh=mesh,
+            donate=config.donate,
             state_shardings=shardings,
             compute_dtype=jnp.bfloat16 if config.mixed_precision else None,
             remat=config.remat,
@@ -484,8 +500,16 @@ class Trainer:
                     latest, start_epoch, min_val_loss, num_patience,
                 )
 
-        best_params = self.state.params
-        best_stats = self.state.batch_stats
+        # Host snapshots, NOT aliases: under TrainConfig.donate the train
+        # step donates the TrainState, so holding live device buffers here
+        # would leave best_params pointing at deleted memory after the next
+        # step. device_get is also what checkpoint serialization needs, so
+        # the non-donated path loses nothing.
+        def _snapshot(tree):
+            return jax.device_get(tree)
+
+        best_params = _snapshot(self.state.params)
+        best_stats = _snapshot(self.state.batch_stats)
         if cfg.resume and start_epoch and os.path.exists(best_ckpt):
             import flax.serialization
 
@@ -505,8 +529,8 @@ class Trainer:
             # mean loss (val), Demo_Train_Test.py:155-169
             is_new_best = mean_loss < min_val_loss
             if is_new_best:
-                best_params = jax.tree_util.tree_map(lambda x: x, self.state.params)
-                best_stats = jax.tree_util.tree_map(lambda x: x, self.state.batch_stats)
+                best_params = _snapshot(self.state.params)
+                best_stats = _snapshot(self.state.batch_stats)
                 if not cfg.is_best_only:
                     # Persist the new best BEFORE the epoch checkpoint records
                     # this epoch's loss as min_val_loss: a crash between the

@@ -55,6 +55,7 @@ class Config:
     resume: bool = False       # continue from the latest epoch checkpoint
     mixed_precision: bool = False  # bf16 train compute, f32 masters (~2x)
     remat: bool = False        # recompute fwd in bwd: larger clips per chip
+    donate: bool = False       # in-place TrainState: less HBM, measured slower
     prefetch_decode: bool = True  # train: decode video k+1 while k steps
     videos_per_batch: int = 1  # >1: batched multi-video inference
     # >1: data-parallel over N local devices — train shards videos_per_step,

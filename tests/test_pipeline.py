@@ -424,6 +424,43 @@ def test_training_overfits_synthetic(video_dataset, tmp_path_factory):
     assert min(means[-2:]) < min(means[:2]), f"loss not descending: {means}"
 
 
+def test_donated_training_matches_undonated(video_dataset, tmp_path_factory):
+    """TrainConfig.donate (in-place TrainState update, the HBM-headroom
+    opt-in — docs/PERF.md "Training throughput") must change NOTHING
+    numerically: two fresh trainers run the same 2 epochs donated and
+    undonated and land on identical final params, and the donated run's
+    best-epoch host snapshot survives buffer donation (_snapshot)."""
+    from iip_uavsal_saliency_tpu.training.trainer import TrainConfig, Trainer
+
+    finals = []
+    for donate in (False, True):
+        cfg = TrainConfig(
+            method_name=f"DonUAVSal{int(donate)}",
+            iosize=IOSIZE,
+            time_dims=TIME_DIMS,
+            batch_size=1,
+            epochs=2,
+            bias_type=(1, 0, 1),
+            freeze=(),
+            is_early_stop=False,
+            shuffle_train=False,
+            donate=donate,
+        )
+        trainer = Trainer(
+            cfg, video_dataset, "UAV2",
+            str(tmp_path_factory.mktemp(f"w_don{int(donate)}")),
+            ext=".avi",
+            priors_cache_dir=str(tmp_path_factory.mktemp(f"p_don{int(donate)}")),
+        )
+        state = trainer.train()
+        finals.append(jax.device_get(state.params))
+    a = jax.tree_util.tree_leaves(finals[0])
+    b = jax.tree_util.tree_leaves(finals[1])
+    assert len(a) == len(b)
+    for la, lb in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
 def test_training_descends_loss_kl(video_dataset, tmp_path_factory):
     """The loss_kl training path (PER_FRAME registry) also descends."""
     from iip_uavsal_saliency_tpu.training.trainer import TrainConfig, Trainer
