@@ -65,8 +65,25 @@ def main():
                          "per-step host dispatch (diagnostic, not the "
                          "serving headline — real serving feeds fresh "
                          "input per step)")
+    ap.add_argument("--latency", action="store_true",
+                    help="per-dispatch request->response latency mode: time "
+                         "EVERY dispatch individually (output host-fetched "
+                         "each step) over --lat-dispatches steps and report "
+                         "p50/p90/p95/p99/max ms per dispatch. Defaults "
+                         "--clips to 1 (S=5, one clip per dispatch — the "
+                         "real-time serving shape) unless given explicitly. "
+                         "Relay stalls land in the tail ON PURPOSE: the "
+                         "percentiles are the honest sustained story "
+                         "(docs/PERF.md 'Latency frontier').")
+    ap.add_argument("--lat-dispatches", type=int, default=1000,
+                    help="dispatches to sample in --latency mode")
     args = ap.parse_args()
     args.bake = args.bake == "true"
+    if args.latency and args.in_graph:
+        ap.error("--latency and --in-graph are mutually exclusive")
+    # real-time latency defaults to one clip per dispatch
+    if args.latency and not any(a.startswith("--clips") for a in sys.argv[1:]):
+        args.clips = 1
 
     repo = os.path.dirname(os.path.abspath(__file__))
     # Shared cache policy (seed from the committed serving_cache/, stable
@@ -133,6 +150,41 @@ def main():
         infer = lambda p, b, x, g, o, st: baked(x, st)  # noqa: E731
     else:
         infer = make_infer_step(model, compute_dtype=compute_dtype, donate_state=True)
+
+    if args.latency:
+        # request->response percentiles: every dispatch host-fetches the
+        # saliency map (what a real-time consumer waits for); the recurrent
+        # state chains on-device. Relay stalls are NOT trimmed — the tail
+        # is the story on this host (docs/PERF.md "Latency frontier").
+        from iip_uavsal_saliency_tpu.runners.latency import (
+            latency_summary, measure_dispatch_latency,
+        )
+
+        step = lambda x, st: infer(params, batch_stats, x, gauss, ob, st)  # noqa: E731
+        t0 = time.perf_counter()
+        times = measure_dispatch_latency(
+            step, x_u8, state, n=args.lat_dispatches)
+        summ = latency_summary(times, frames_per_dispatch=v * s)
+        log(f"first-call+samples took {time.perf_counter() - t0:.1f}s; "
+            f"{summ['n']} dispatches of {v}x{s} frames at {h}x{w} "
+            f"({'baked' if args.bake else 'args'}, {args.dtype})")
+        log(f"p50 {summ['p50_ms']:.2f}  p90 {summ['p90_ms']:.2f}  "
+            f"p95 {summ['p95_ms']:.2f}  p99 {summ['p99_ms']:.2f}  "
+            f"max {summ['max_ms']:.2f} ms/dispatch; "
+            f"sustained {summ['fps_sustained']:.1f} FPS")
+        # reference latency point: 85 FPS => 11.76 ms/frame => ms for the
+        # same number of frames; vs_baseline > 1 means we respond faster
+        ref_ms = v * s * 1e3 / args.baseline_fps
+        print(json.dumps({
+            "metric": f"serving_latency_p99_ms_{h}x{w}_S{s}",
+            "value": summ["p99_ms"],
+            "unit": "ms/dispatch",
+            "vs_baseline": round(ref_ms / summ["p99_ms"], 3),
+            **{k: summ[k] for k in
+               ("p50_ms", "p90_ms", "p95_ms", "max_ms", "mean_ms",
+                "fps_sustained", "n")},
+        }))
+        return
 
     # compile + warmup (state buffers are donated -> always chain forward)
     t0 = time.perf_counter()
