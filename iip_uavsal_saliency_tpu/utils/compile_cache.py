@@ -44,6 +44,8 @@ def setup_compile_cache(repo_dir: str, seed: bool = True) -> int:
     if seed and not os.environ.get("UAVSAL_SKIP_CACHE_SEED") and os.path.isdir(ship):
         os.makedirs(cache, exist_ok=True)
         for f in os.listdir(ship):
+            if f == "MANIFEST.json":  # provenance record, not a cache entry
+                continue
             dst = os.path.join(cache, f)
             if not os.path.exists(dst):
                 shutil.copyfile(os.path.join(ship, f), dst)
