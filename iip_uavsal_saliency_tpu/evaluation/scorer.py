@@ -121,14 +121,27 @@ def device_dispatch_ms() -> float:
 
 
 def _resolve_img_device_auc(device_auc: Optional[bool]) -> bool:
-    """None = auto: batched device scoring only when dispatch latency says
-    the device is local (relay RTT would make it a regression)."""
+    """None = auto: batched device scoring only on a LOCAL ACCELERATOR.
+
+    Both conditions are measured requirements, not guesses:
+    - remote relay (dispatch RTT >= 2 ms): per-image host wins — round-4
+      A/B on the relay TPU measured the batched path parity-to-slower
+      with 19-55 s variance per 64 images;
+    - CPU backend: per-image host wins 6x — the device metrics use a
+      dense AUC threshold sweep (O(n_thresh * n_pix), built for
+      MXU/VPU-class parallelism) that loses badly to numpy's
+      searchsorted on a scalar core (tools/bench_eval_img.py, measured
+      2026-08-20: 0.17x at 64 SALICON-sized images, all 7 metrics).
+    The remaining cell — direct-attached TPU/GPU — is the path's design
+    target but has NOT been measured on one (docs/PERF.md labels it
+    experimental); `device_auc=True` forces it for such a host."""
     if device_auc is not None:
         return device_auc
+    platform = jax.devices()[0].platform
     ms = device_dispatch_ms()
-    use = ms < 2.0
-    log.info("image eval auto-select: dispatch=%.2fms -> %s path",
-             ms, "device-batched" if use else "per-image host")
+    use = platform not in ("cpu",) and ms < 2.0
+    log.info("image eval auto-select: platform=%s dispatch=%.2fms -> %s path",
+             platform, ms, "device-batched" if use else "per-image host")
     return use
 
 

@@ -71,8 +71,9 @@ class Config:
     # from a CPU host); empty = the current backend
     export_platforms: str = ""
     # AUC-Borji/shuffled on device (False: host path). None = default: device
-    # for video eval (measured 5.5x), auto-probe for image eval (the relay
-    # RTT makes batched image shipping a regression — scorer.device_dispatch_ms)
+    # for video eval (measured 5.5x), auto for image eval — device only on a
+    # LOCAL ACCELERATOR (relay RTT and CPU backends both measured slower;
+    # scorer._resolve_img_device_auc has the numbers)
     device_auc: Optional[bool] = None
 
     @property
