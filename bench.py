@@ -54,6 +54,10 @@ def main():
     ap.add_argument("--twa", choices=["auto", "pallas", "xla"], default="auto",
                     help="TWA recurrence (auto picks the fused Pallas kernel "
                          "whenever supported — TPU + bf16; xla forces the scan)")
+    ap.add_argument("--s2d", action="store_true",
+                    help="space-to-depth stem: exact 2x2 reparametrization of "
+                         "the stride-2 stem conv (4x input-channel MXU "
+                         "occupancy; ops.layers.S2DStem) — A/B probe")
     ap.add_argument("--bake", choices=["true", "false"], default="true",
                     help="bake params/priors into the program as constants "
                          "(the production serving form, +11.7%%); false "
@@ -111,7 +115,8 @@ def main():
     twa_pallas = {"auto": None, "pallas": True, "xla": False}[args.twa]
     if twa_pallas and args.dtype != "bf16":
         log("WARNING: --twa pallas needs --dtype bf16; the XLA scan will run instead")
-    model = UAVSal(time_dims=args.time_dims, twa_pallas=twa_pallas)
+    model = UAVSal(time_dims=args.time_dims, twa_pallas=twa_pallas,
+                   s2d_stem=args.s2d)
     rng = np.random.RandomState(0)
     x_u8 = jnp.asarray(rng.randint(0, 255, (v, s, h, w, 3), np.uint8))
     gauss = jnp.asarray(rng.rand(ho, wo, 8).astype(np.float32))

@@ -188,6 +188,7 @@ def cmd_test(cfg: Config):
         model_name=cfg.model_name,
         st_type=cfg.st_type,
         fold_bn=cfg.fold_bn,
+        s2d_stem=cfg.s2d_stem,
     )
     import jax.numpy as jnp
 
@@ -316,6 +317,7 @@ def cmd_export(cfg: Config, src: str, dst: str) -> None:
         src, cnn_type=cfg.cnn_type, time_dims=cfg.time_dims,
         num_stblock=cfg.num_stblock, bias_type=cfg.bias_type,
         model_name=cfg.model_name, st_type=cfg.st_type, fold_bn=cfg.fold_bn,
+        s2d_stem=cfg.s2d_stem,
     )
     shape_r_out, shape_c_out = cfg.iosize[2], cfg.iosize[3]
     gauss = ob = None

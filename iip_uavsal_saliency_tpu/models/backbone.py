@@ -22,7 +22,7 @@ from typing import Sequence, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ..ops.layers import ConvBNAct, DWBlock
+from ..ops.layers import ConvBNAct, DWBlock, S2DStem
 
 FEATURE_INPLANES = {
     "vgg16": [128, 256, 512, 512],
@@ -52,12 +52,20 @@ class MobileNetV2Pyramid(nn.Module):
     Layer indices follow torchvision's `features` numbering so a converted
     checkpoint maps 1:1: block modules are named `features_{i}`.
     Stage boundaries: c1=[0:2], c2=[2:4], c3=[4:7], c4=[7:14], c5=[14:18].
+
+    `s2d_stem=True` runs features[0] as the exact 2x2 space-to-depth
+    reparametrization (ops.layers.S2DStem — identical math and variable
+    tree, better MXU occupancy on the 3-channel input; needs even H, W).
     """
+
+    s2d_stem: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         # features[0]: stem ConvBNReLU6 3->32 s2
-        x = ConvBNAct(32, kernel_size=3, stride=2, name="features_0")(x, train)
+        stem = S2DStem(32, name="features_0") if self.s2d_stem else \
+            ConvBNAct(32, kernel_size=3, stride=2, name="features_0")
+        x = stem(x, train)
         outs = []
         idx = 1
         stage_ends = {1: None, 3: None, 6: None, 13: None, 17: None}
@@ -167,10 +175,13 @@ class VGGPyramid(nn.Module):
         return tuple(outs)
 
 
-def build_backbone(cnn_type: str) -> nn.Module:
+def build_backbone(cnn_type: str, s2d_stem: bool = False) -> nn.Module:
     cnn_type = cnn_type.lower()
     if cnn_type == "mobilenet_v2":
-        return MobileNetV2Pyramid(name="features")
+        return MobileNetV2Pyramid(s2d_stem=s2d_stem, name="features")
+    if s2d_stem:
+        raise NotImplementedError(
+            f"s2d_stem is only implemented for mobilenet_v2 (got {cnn_type})")
     if cnn_type.startswith("resnet"):
         return ResNetPyramid(name_id=cnn_type, name="features")
     if cnn_type == "vgg16":

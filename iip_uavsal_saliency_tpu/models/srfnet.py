@@ -29,6 +29,7 @@ class SRFNet(nn.Module):
     cnn_type: str = "mobilenet_v2"
     planes: Sequence[int] = (64, 64, 128, 256)
     last_channel: int = 256
+    s2d_stem: bool = False  # exact space-to-depth stem (ops.layers.S2DStem)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -36,7 +37,7 @@ class SRFNet(nn.Module):
         if self.last_channel == 128:
             planes = [32, 32, 64, 128]
 
-        _, _, c3, c4, c5 = build_backbone(self.cnn_type)(x, train)
+        _, _, c3, c4, c5 = build_backbone(self.cnn_type, self.s2d_stem)(x, train)
 
         fan_out = dict(kernel_init_kwargs={"mode": "fan_out"})
 

@@ -159,10 +159,12 @@ class _Trunk(nn.Module):
     st_type: str = "st"
     st_block_cls: Optional[type] = None
     diff_group: Optional[int] = None
+    s2d_stem: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = SRFNet(self.cnn_type, last_channel=self.planes, name="sfnet")(x, train)
+        x = SRFNet(self.cnn_type, last_channel=self.planes,
+                   s2d_stem=self.s2d_stem, name="sfnet")(x, train)
         block = self.st_block_cls or ST_TYPES[self.st_type]
         if block in (STC3D, STC23D):
             kw = {}
@@ -208,6 +210,7 @@ class UAVSal(nn.Module):
     planes: int = 256
     compat_cxt_tile: bool = True
     twa_pallas: Optional[bool] = None  # None=auto: Pallas TWA whenever supported (TPU+bf16)
+    s2d_stem: bool = False  # exact space-to-depth stem reparametrization
 
     def init_state(self, height: int, width: int, n_videos: int = 1, dtype=jnp.float32):
         """Zero TWA state for inputs of (height, width) pixels."""
@@ -224,6 +227,7 @@ class UAVSal(nn.Module):
             self.time_dims,
             self.num_stblock,
             diff_group=s if v > 1 else None,  # V=1: reference whole-batch diffs
+            s2d_stem=self.s2d_stem,
             name="trunk",
         )(x, train)
         x = MultiPriors(

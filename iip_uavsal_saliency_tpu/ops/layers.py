@@ -153,6 +153,88 @@ class ConvBNAct(nn.Module):
         return x
 
 
+def space_to_depth(x, block: int = 2):
+    """(N, H, W, C) -> (N, H/b, W/b, b*b*C); channel index (a*b + bcol)*C + c
+    where (a, bcol) is the pixel's phase inside its b x b block. Pure
+    reshape/transpose — XLA lowers it to a relayout, no FLOPs."""
+    n, h, w, c = x.shape
+    if h % block or w % block:
+        raise ValueError(f"space_to_depth needs H,W divisible by {block}, got {h}x{w}")
+    x = x.reshape(n, h // block, block, w // block, block, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // block, w // block,
+                                                 block * block * c)
+
+
+class S2DStem(nn.Module):
+    """EXACT reparametrization of the 3x3 stride-2 stem conv as a 2x2
+    stride-1 conv over the 2x2 space-to-depth input — the standard
+    MLPerf-TPU stem trick.
+
+    Why: the plain stem convolves (H, W, 3) with 3 input channels — a tiny
+    fraction of the MXU's 128-lane input tile, so the hardware runs nearly
+    empty for the most bandwidth-heavy layer of the network. Space-to-depth
+    moves the stride into the layout: the conv sees (H/2, W/2, 12) — same
+    FLOPs, 4x the input-channel occupancy, quarter the positions.
+
+    Exactness (not an approximation): the stride-2 3x3 conv's output
+    y[i,j] reads input rows 2i-1..2i+1. Pad the 3x3 kernel with one zero
+    row/col BEFORE (so taps cover rows 2i-2..2i+1 = s2d blocks i-1 and i),
+    regroup the padded 4x4 into 2x2 blocks of 2x2 phases, and the result
+    is a 2x2 stride-1 conv over the s2d image with left/top padding of 1.
+    Weight layout is IDENTICAL to ConvBNAct(features, 3, stride=2) —
+    kernel (3, 3, C, F) + bn — so checkpoints drop in unchanged and the
+    regrouping happens at apply time (a compile-time constant fold under
+    baked-constant serving). Requires even H, W.
+
+    Reference stem being reparametrized: model_feature.py:63 (torchvision
+    MobileNetV2 features[0]).
+    """
+
+    features: int
+    act: Optional[Callable] = relu6
+    kernel_init_name: str = "kaiming_normal"
+    kernel_init_kwargs: Optional[dict] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        kw = dict(self.kernel_init_kwargs or {})
+        conv_mod = nn.Conv(
+            features=self.features,
+            kernel_size=(3, 3),
+            strides=(2, 2),
+            padding=[(1, 1), (1, 1)],
+            use_bias=False,
+            kernel_init=make_conv_init(self.kernel_init_name, **kw),
+            name="conv",
+        )
+        # bind the params without running the 3x3 conv (same pattern as
+        # DWBlock's fused path); variable tree == the plain stem's
+        _ = conv_mod(jnp.zeros((1, 2, 2, c), x.dtype))
+        k = conv_mod.variables["params"]["kernel"]  # (3, 3, C, F)
+        kp = jnp.pad(k, ((1, 0), (1, 0), (0, 0), (0, 0)))  # zero row/col BEFORE
+        # (4,4,C,F) -> [ki, a, kj, b, c, f] -> 2x2 kernel over 4C channels,
+        # channel order (a*2+b)*C + c matching space_to_depth
+        k2 = kp.reshape(2, 2, 2, 2, c, self.features)
+        k2 = k2.transpose(0, 2, 1, 3, 4, 5).reshape(2, 2, 4 * c, self.features)
+        y = lax.conv_general_dilated(
+            space_to_depth(x, 2),
+            k2.astype(x.dtype),
+            window_strides=(1, 1),
+            padding=((1, 0), (1, 0)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        y = TorchBatchNorm(
+            use_running_average=not train,
+            momentum=BN_MOMENTUM,
+            epsilon=BN_EPS,
+            name="bn",
+        )(y)
+        if self.act is not None:
+            y = self.act(y)
+        return y
+
+
 class DWBlock(nn.Module):
     """Inverted-residual depthwise-separable block (expand_ratio default 6).
 

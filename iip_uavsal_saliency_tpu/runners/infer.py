@@ -55,6 +55,7 @@ def load_model_for_inference(
     model_name: str = "uavsal",
     st_type: str = "st",
     fold_bn: bool = True,
+    s2d_stem: bool = False,
 ):
     """Build the model + restore a checkpoint written by the Trainer (or by
     the torch converter in models/convert.py). `model_name` accepts any
@@ -70,6 +71,7 @@ def load_model_for_inference(
         model = UAVSal(
             cnn_type=cnn_type, time_dims=time_dims,
             num_stblock=num_stblock, bias_type=bias_type,
+            s2d_stem=s2d_stem,  # exact stem reparam; same checkpoint tree
         )
     else:
         from ..models import build_adapted_model

@@ -67,6 +67,9 @@ class Config:
     # "Baked-constant serving")
     bake_params: bool = True
     fold_bn: bool = True       # fold eval BN into convs at serving load
+    # serve with the exact space-to-depth stem reparametrization (same
+    # checkpoints; ops.layers.S2DStem — A/B numbers in docs/PERF.md)
+    s2d_stem: bool = False
     # `export` target platforms, comma-separated (e.g. "tpu" to cross-lower
     # from a CPU host); empty = the current backend
     export_platforms: str = ""

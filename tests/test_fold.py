@@ -176,3 +176,26 @@ def test_fold_full_model_exact(uavsal_small):
                                atol=2.5e-3)
     np.testing.assert_allclose(np.asarray(st_fold), np.asarray(st_ref),
                                atol=2.5e-2)
+
+
+def test_fold_composes_with_s2d_stem(uavsal_small):
+    """The serving-load fold and the space-to-depth stem compose: the s2d
+    kernel regrouping is linear in the kernel, so it commutes with the
+    fold's per-output-channel rescale (same folded variables, same
+    output)."""
+    from iip_uavsal_saliency_tpu.models import UAVSal
+
+    model, variables, (x, g, o, s) = uavsal_small
+    variables = _rand_stats(variables)
+    folded = fold_batchnorm(variables)
+    y_plain, st_plain = jax.jit(lambda v: model.apply(v, x, g, o, s))(folded)
+    m2 = UAVSal(time_dims=model.time_dims, s2d_stem=True)
+    y_s2d, st_s2d = jax.jit(lambda v: m2.apply(v, x, g, o, s))(folded)
+    # same tolerance story as test_fold_full_model_exact: _rand_stats makes
+    # folded kernels adversarially scaled, so the stem's different f32
+    # contraction order amplifies to ~1e-3 on the sigmoid output — still
+    # under one uint8 postprocess quantum (1/255)
+    np.testing.assert_allclose(np.asarray(y_s2d), np.asarray(y_plain),
+                               atol=2.5e-3)
+    np.testing.assert_allclose(np.asarray(st_s2d), np.asarray(st_plain),
+                               atol=2.5e-2)

@@ -129,6 +129,47 @@ def test_uavsal_multivideo_matches_per_video():
         np.testing.assert_allclose(np.asarray(s2[vid]), np.asarray(si[0]), rtol=2e-4, atol=2e-5)
 
 
+def test_s2d_stem_module_exact():
+    """ops.layers.S2DStem is an EXACT reparametrization of the plain
+    3x3-stride-2 stem: identical variable tree, same output to f32
+    rounding, in eval AND train mode (same BN batch statistics)."""
+    from iip_uavsal_saliency_tpu.ops.layers import ConvBNAct, S2DStem
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 32, 48, 3).astype(np.float32))
+    plain = ConvBNAct(32, kernel_size=3, stride=2)
+    s2d = S2DStem(32)
+    v = plain.init(jax.random.PRNGKey(0), x)
+    v2 = s2d.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(v2)
+    for train in (False, True):
+        kw = {"mutable": ["batch_stats"]} if train else {}
+        ya = plain.apply(v, x, train, **kw)
+        yb = s2d.apply(v, x, train, **kw)
+        if train:
+            (ya, ma), (yb, mb) = ya, yb
+            np.testing.assert_allclose(
+                np.asarray(ma["batch_stats"]["bn"]["var"]),
+                np.asarray(mb["batch_stats"]["bn"]["var"]), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(ya), np.asarray(yb),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_s2d_stem_model_parity(uavsal_small):
+    """UAVSal(s2d_stem=True) on the SAME variables == the plain model."""
+    model, vars_, (x, g, o, s) = uavsal_small
+    y, s2 = model.apply(vars_, x, g, o, s)
+    m2 = UAVSal(time_dims=T, s2d_stem=True)
+    y2, s22 = m2.apply(vars_, x, g, o, s)
+    # atol 1e-4: the stem conv's different contraction order perturbs the
+    # f32 output by ~1 ulp, which ~30 downstream layers amplify slightly
+    # (module-level exactness is pinned at 1e-5 by test_s2d_stem_module_exact)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y2),
+                               rtol=2e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(s22),
+                               rtol=2e-4, atol=1e-4)
+
+
 def test_uavsal_param_budget(uavsal_small):
     """Reference UAVSal = 51.59 MB of fp32 params+buffers
     (reference: Tools/Getmodelsize_demo.py:93). BN running stats live in
