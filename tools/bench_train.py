@@ -1,8 +1,9 @@
 """A/B the jitted TBPTT train step: donated vs non-donated TrainState,
 f32 vs mixed precision, at the flagship clip shape.
 
-Backs the `donate=True` default in training/trainer.py — run on the real
-TPU chip and paste the numbers into docs/PERF.md "Training throughput".
+Backs the measured decision to keep `TrainConfig.donate=False` by default
+(donation was SLOWER on TPU v5e — docs/PERF.md "Training throughput"); run
+on the real TPU chip and paste the numbers into that section.
 
 Methodology follows docs/PERF.md "Measurement integrity": every timed
 region ends in a host scalar fetch (the loss), never `block_until_ready`
