@@ -38,9 +38,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--height", type=int, default=360)
     ap.add_argument("--width", type=int, default=640)
-    ap.add_argument("--clips", type=int, default=16,
-                    help="clips per step (batch_size); S=80 frames/step is the "
-                         "measured-fastest serving shape (docs/PERF.md)")
+    ap.add_argument("--clips", type=int, default=None,
+                    help="clips per step (batch_size); default 16 (S=80 "
+                         "frames/step, the measured-fastest serving shape, "
+                         "docs/PERF.md) or 1 in --latency mode (one clip "
+                         "per dispatch, the real-time shape)")
     ap.add_argument("--time-dims", type=int, default=5)
     ap.add_argument("--videos", type=int, default=1, help="parallel videos (V axis)")
     ap.add_argument("--steps", type=int, default=30)
@@ -85,9 +87,10 @@ def main():
     args.bake = args.bake == "true"
     if args.latency and args.in_graph:
         ap.error("--latency and --in-graph are mutually exclusive")
-    # real-time latency defaults to one clip per dispatch
-    if args.latency and not any(a.startswith("--clips") for a in sys.argv[1:]):
-        args.clips = 1
+    # real-time latency defaults to one clip per dispatch (None sentinel,
+    # not argv sniffing: argparse prefix-matching would defeat a scan)
+    if args.clips is None:
+        args.clips = 1 if args.latency else 16
 
     repo = os.path.dirname(os.path.abspath(__file__))
     # Shared cache policy (seed from the committed serving_cache/, stable

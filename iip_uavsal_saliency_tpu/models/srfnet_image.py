@@ -51,8 +51,12 @@ def is_image_stage_variables(variables) -> bool:
     auto-route a `--model-path` at an image checkpoint through
     `transfer_sfnet` instead of loading it as video-model variables
     (reference 3-stage recipe: README.md:60)."""
+    from collections.abc import Mapping
+
     params = variables.get("params", {})
-    return isinstance(params, dict) and set(params.keys()) == {"sfnet", "conv_out"}
+    # Mapping, not dict: a flax FrozenDict tree (e.g. variables frozen by a
+    # caller) must classify identically to its plain-dict round trip
+    return isinstance(params, Mapping) and set(params.keys()) == {"sfnet", "conv_out"}
 
 
 def transfer_sfnet(image_variables, video_variables):

@@ -74,6 +74,13 @@ def load_model_for_inference(
             s2d_stem=s2d_stem,  # exact stem reparam; same checkpoint tree
         )
     else:
+        if s2d_stem:
+            # loud, like build_backbone's non-MBV2 guard: silently serving
+            # the plain stem would mis-attribute any A/B the flag was for
+            raise NotImplementedError(
+                "s2d_stem is only implemented for the flagship 'uavsal' "
+                f"model (got model_name={model_name!r})"
+            )
         from ..models import build_adapted_model
 
         model = build_adapted_model(
@@ -169,6 +176,13 @@ def test_videos(
         gauss, ob = cast(gauss), cast(ob)
 
     v_per = max(1, videos_per_batch)
+    from ..parallel.steps import _data_only_mesh
+
+    # decided up front: the baked branch snapshots variables/priors to HOST
+    # np literals, so replicating them to the mesh first would be a wasted
+    # ~2x26 MB round trip (seconds through the relay)
+    use_baked = (infer_step is None and bake_params
+                 and (mesh is None or _data_only_mesh(mesh)))
     x_sharding = state_sharding = None
     if mesh is not None:
         n_data = dict(mesh.shape).get("data", 1)
@@ -182,18 +196,18 @@ def test_videos(
 
         x_sharding = data_sharding(mesh, 5)
         state_sharding = _state_sharding(model, mesh)
-        rep = replicated(mesh)
-        # params/priors replicate once up front; clips/state are placed per
-        # step below so the shard_map program never reshards on the fly
-        variables = jax.device_put(variables, rep)
-        gauss = None if gauss is None else jax.device_put(gauss, rep)
-        ob = None if ob is None else jax.device_put(ob, rep)
+        if not use_baked:
+            rep = replicated(mesh)
+            # params/priors replicate once up front; clips/state are placed
+            # per step below so the shard_map program never reshards on the
+            # fly (the baked step instead embeds them as constants)
+            variables = jax.device_put(variables, rep)
+            gauss = None if gauss is None else jax.device_put(gauss, rep)
+            ob = None if ob is None else jax.device_put(ob, rep)
 
     injected_step = infer_step is not None  # AOT step: V is baked into it
     if infer_step is None:
-        from ..parallel.steps import _data_only_mesh
-
-        if bake_params and (mesh is None or _data_only_mesh(mesh)):
+        if use_baked:
             # baked-constant serving composes with multi-chip DP: a pure
             # 'data' mesh runs the baked per-device program under shard_map
             # (constants replicate at compile time), so DP serving sheds the

@@ -154,3 +154,32 @@ def test_infer_images_png_dynamic_range(salicon_root, srfnet_image_model, tmp_pa
         img = cv2.imread(os.path.join(out, "M", f), -1)
         assert img.max() == 255, f  # max-normalized
         assert len(np.unique(img)) > 10, f  # full dynamic range, not binary
+
+
+def test_is_image_stage_detects_frozen_and_plain(srfnet_image_model, uavsal_small):
+    """The auto-route in Trainer/cli train must classify a variables tree
+    identically whether it is a plain dict or a flax FrozenDict (a caller
+    can legitimately hand over frozen variables never round-tripped
+    through a checkpoint)."""
+    import flax
+
+    from iip_uavsal_saliency_tpu.models import is_image_stage_variables
+
+    _, img_vars = srfnet_image_model
+    _, vid_vars, _ = uavsal_small
+    assert is_image_stage_variables(img_vars)
+    assert is_image_stage_variables(flax.core.freeze(img_vars))
+    assert not is_image_stage_variables(vid_vars)
+    assert not is_image_stage_variables(flax.core.freeze(vid_vars))
+
+
+def test_load_model_for_inference_rejects_s2d_on_zoo(tmp_path):
+    """s2d_stem is flagship-only; a zoo variant must fail LOUDLY (before
+    even touching the checkpoint), not silently serve the plain stem."""
+    from iip_uavsal_saliency_tpu.runners.infer import load_model_for_inference
+
+    with pytest.raises(NotImplementedError, match="s2d_stem"):
+        load_model_for_inference(
+            str(tmp_path / "none.ckpt"), model_name="uavsal_noob",
+            s2d_stem=True,
+        )

@@ -93,3 +93,12 @@ def test_repo_cache_passes_its_own_check():
     man = mod._load_manifest(sc)
     assert man is not None, "committed serving_cache lacks MANIFEST.json"
     assert mod.check(sc, budget_mb=float(man.get("budget_mb", 128))) == 0
+
+
+def test_check_fails_on_manifest_entries_missing_from_disk(tool, tmp_path):
+    # gutted cache: manifest intact, entry files deleted — must NOT pass,
+    # or a fresh run silently pays the full cold compile --check guards
+    d = _make_cache(tmp_path, {"a-cache": 10, "b-cache": 20},
+                    versions={"jax": "1.2.3", "jaxlib": "1.2.3"})
+    os.remove(os.path.join(d, "b-cache"))
+    assert tool.check(d, budget_mb=128) != 0

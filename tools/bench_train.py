@@ -119,17 +119,24 @@ def main():
         for label, arm in arms.items():
             dt = min(arm["times"])
             fps = args.steps * v * s / dt
-            pk = peak_bytes(dev)
-            results[label] = (fps, dt / args.steps * 1e3, pk)
+            results[label] = (fps, dt / args.steps * 1e3)
             log(f"{label}: {fps:.1f} frames/s ({dt / args.steps * 1e3:.2f} ms/step)  "
                 + "times: " + ", ".join(f"{t:.2f}s" for t in arm["times"]))
         del arms
 
     log("")
     log(f"shape: V={v} S={s} {h}x{w}")
-    for label, (fps, ms, pk) in results.items():
-        log(f"  {label}: {fps:7.1f} frames/s  {ms:7.2f} ms/step"
-            + (f"  peak {pk / 2**20:.0f} MiB" if pk else ""))
+    for label, (fps, ms) in results.items():
+        log(f"  {label}: {fps:7.1f} frames/s  {ms:7.2f} ms/step")
+    # NO per-arm peak-HBM column ON PURPOSE: peak_bytes_in_use is a
+    # process-wide monotonic high-water mark, and the interleaved A/B keeps
+    # BOTH arms' TrainStates live simultaneously — any per-arm reading
+    # would report the same polluted maximum. To measure one config's peak
+    # (e.g. the donate=True HBM saving), run this tool twice in fresh
+    # processes with a single arm's settings and compare the figure below.
+    pk = peak_bytes(dev)
+    if pk:
+        log(f"  process-wide peak HBM (all arms together): {pk / 2**20:.0f} MiB")
 
 
 if __name__ == "__main__":

@@ -104,6 +104,13 @@ def check(out_dir, budget_mb):
             print(f"{len(unknown)} entries not in the manifest "
                   f"(hand-copied?): {unknown[:3]}...", file=sys.stderr)
             ok = False
+        missing = [f for f in man.get("entries", []) if f not in names]
+        if missing:
+            print(f"{len(missing)} manifest entries MISSING on disk "
+                  f"(gutted cache — the next fresh run pays the full cold "
+                  f"compile): {missing[:3]}... — re-warm on the TPU",
+                  file=sys.stderr)
+            ok = False
     if total > budget_mb * 1e6:
         print(f"OVER BUDGET: {total / 1e6:.1f} MB > {budget_mb} MB — "
               f"re-warm with only the flagship shapes, or raise --budget-mb "
@@ -171,6 +178,16 @@ def warm(out_dir, budget_mb, bench_flags):
         if rc != 0:
             raise SystemExit(rc)
         produced = sorted(os.listdir(cache)) if os.path.isdir(cache) else []
+        # budget gate BEFORE any mutation of the committed dir: an
+        # over-budget warm must leave serving_cache/ exactly as it was, so
+        # "growth is a conscious decision" can't be bypassed by an
+        # automation that ignores the exit code after seeing files change
+        total = _total_bytes(cache, produced)
+        if total > budget_mb * 1e6:
+            raise SystemExit(
+                f"over the {budget_mb} MB budget ({total / 1e6:.1f} MB): "
+                f"{out_dir} left untouched — warm fewer shapes, or pass "
+                f"--budget-mb to raise it deliberately")
         # prune first: stale entries (old code, old keys) can never hit again
         # and would otherwise bloat the committed dir forever
         stale = [f for f in _entries(out_dir) if f not in produced]
@@ -180,7 +197,6 @@ def warm(out_dir, budget_mb, bench_flags):
             print(f"pruned {len(stale)} stale entries from {out_dir}", file=sys.stderr)
         for f in produced:
             shutil.copyfile(os.path.join(cache, f), os.path.join(out_dir, f))
-        total = _total_bytes(out_dir, produced)
         with open(os.path.join(out_dir, MANIFEST), "w") as f:
             json.dump({
                 "versions": _versions(),
@@ -191,10 +207,6 @@ def warm(out_dir, budget_mb, bench_flags):
             }, f, indent=1, sort_keys=True)
         print(f"{len(produced)} cache entries, {total / 1e6:.1f} MB -> {out_dir}",
               file=sys.stderr)
-        if total > budget_mb * 1e6:
-            raise SystemExit(
-                f"over the {budget_mb} MB budget ({total / 1e6:.1f} MB): warm "
-                f"fewer shapes, or pass --budget-mb to raise it deliberately")
     finally:
         if os.path.isdir(bak):
             os.makedirs(cache, exist_ok=True)
