@@ -150,3 +150,54 @@ def test_orthogonal_init_wide_and_tall():
     wide = orthogonal(key, (1, 1, 16, 64))      # 16 x 64: crashed before
     q = np.asarray(wide).reshape(16, 64)
     np.testing.assert_allclose(q @ q.T, np.eye(16), atol=1e-5)
+
+
+def test_dilated_dw_pad_add_exact_and_gated():
+    """The large-dilation depthwise path (dw_dilated_3x3_pad_add) must be
+    bit-level-exact vs the conv op at the real ASPP shapes, keep the
+    variable tree identical across gated/ungated shapes, match nn.Conv's
+    dtype promotion, and have matching gradients."""
+    from jax import lax
+
+    from iip_uavsal_saliency_tpu.ops.layers import dw_dilated_3x3_pad_add
+
+    rng = np.random.RandomState(0)
+    c = 16
+
+    def conv_ref(x, k, d):
+        return lax.conv_general_dilated(
+            x, k, (1, 1), [(d, d), (d, d)], rhs_dilation=(d, d),
+            feature_group_count=c,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    # exactness at the two flagship c5 grids + an all-taps-dead dilation
+    k = jnp.asarray(rng.randn(3, 3, 1, c).astype(np.float32))
+    for h, w, d in [(23, 40, 18), (18, 32, 18), (7, 9, 30)]:
+        x = jnp.asarray(rng.randn(2, h, w, c).astype(np.float32))
+        np.testing.assert_allclose(
+            dw_dilated_3x3_pad_add(x, k, d), conv_ref(x, k, d),
+            rtol=1e-5, atol=1e-5)
+
+    # the module takes the gated path at 23x40 d=18 and equals conv+bn+relu6
+    mod = ConvBNAct(c, 3, dilation=18, groups=c)
+    x = jnp.asarray(rng.randn(2, 23, 40, c).astype(np.float32))
+    vs = mod.init(jax.random.PRNGKey(0), x)
+    kk = vs["params"]["conv"]["kernel"]
+    bn, st = vs["params"]["bn"], vs["batch_stats"]["bn"]
+    ref = conv_ref(x, kk, 18)
+    ref = (ref - st["mean"]) / jnp.sqrt(st["var"] + 1e-5) * bn["scale"] + bn["bias"]
+    np.testing.assert_allclose(
+        mod.apply(vs, x), jnp.clip(ref, 0, 6), rtol=1e-5, atol=1e-5)
+
+    # same variable tree whether or not the gate fires (64x64 -> conv path)
+    vs_big = ConvBNAct(c, 3, dilation=18, groups=c).init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, c)))
+    assert jax.tree_util.tree_structure(vs) == jax.tree_util.tree_structure(vs_big)
+
+    # bf16 input + f32 params promotes to f32, like nn.Conv
+    assert mod.apply(vs, x.astype(jnp.bfloat16)).dtype == jnp.float32
+
+    # gradients of the two forms agree
+    g1 = jax.grad(lambda kk_: (conv_ref(x, kk_, 18) ** 2).sum())(kk)
+    g2 = jax.grad(lambda kk_: (dw_dilated_3x3_pad_add(x, kk_, 18) ** 2).sum())(kk)
+    np.testing.assert_allclose(g1, g2, rtol=1e-4, atol=1e-3)
